@@ -1,0 +1,124 @@
+"""MinHash signer: batched NumPy kernel inside an Arrow pandas UDF.
+
+Reference semantics: `MinHash::hash_vec_query` (`lsh-rs/src/hash.rs:243-303`)
+computes, per hash function j, the minimum of a random permutation over the
+positions present in the indicator vector.  At web scale we use the
+equivalent universal-hash form min_j((a_j*x + b_j) mod P) over 64-bit
+shingle ids — the same Jaccard estimator (Broder 1997) without a
+dim-bounded permutation array.
+
+Execution contract (input_hint): **no per-row Python** — the kernel is
+vectorized over the whole Arrow batch via a single flattened matrix multiply
++ ``np.minimum.reduceat`` segment reduction, chunked so the intermediate
+(h_chunk × num_perm int64) stays ~64 MB.
+
+The arithmetic is exact int64, identical to the SQL form
+``MIN(((sid % P) * a_j + b_j) % P)`` — so the UDF path is byte-identical to
+a declarative explode/groupBy plan and to the DuckDB oracle.  The
+declarative variant (`minhash_long_sql` et al.) is used by driver oracle
+queries; the UDF is the production path (no K× row blowup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from lsh_rs_spark.config import DedupConfig, MERSENNE31
+from lsh_rs_spark.functions.hashing import minhash_params
+
+P = MERSENNE31
+_CHUNK_ELEMS = 8_000_000  # shingles*num_perm int64 per kernel chunk (~64 MB)
+
+
+def minhash_kernel(
+    offsets: np.ndarray, flat_ids: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Segmented MinHash: rows defined by `offsets` into `flat_ids`.
+
+    offsets: (n_rows,) start index of each row's shingle ids (row i spans
+    offsets[i]..offsets[i+1], last row to end). Returns (n_rows, k) int64.
+    Empty rows get the sentinel P (max hash value).
+    """
+    k = a.shape[0]
+    n = offsets.shape[0]
+    out = np.full((n, k), P, dtype=np.int64)
+    if flat_ids.shape[0] == 0:
+        return out
+    ends = np.append(offsets[1:], flat_ids.shape[0])
+    nonempty = np.nonzero(ends > offsets)[0]
+    if nonempty.shape[0] == 0:
+        return out
+    # chunk over rows so (chunk_shingles, k) stays bounded
+    rows_per_chunk = max(1, _CHUNK_ELEMS // (k * max(1, int(np.mean(ends - offsets) + 1))))
+    mod_ids = flat_ids.astype(np.int64) % P
+    for lo in range(0, nonempty.shape[0], rows_per_chunk):
+        rows = nonempty[lo : lo + rows_per_chunk]
+        s, e = offsets[rows[0]], ends[rows[-1]]
+        seg = mod_ids[s:e]
+        h = (seg[:, None] * a[None, :] + b[None, :]) % P  # (m, k)
+        # reduceat needs strictly in-bounds, sorted segment starts
+        starts = offsets[rows] - s
+        mins = np.minimum.reduceat(h, starts, axis=0)
+        # reduceat merges adjacent equal starts only when a row is empty —
+        # excluded above — but rows with gaps (empty rows between nonempty
+        # ones) shift segments; handle by computing on nonempty rows only.
+        out[rows] = mins
+    return out
+
+
+def make_minhash_udf(cfg: DedupConfig):
+    """pandas_udf: ARRAY<BIGINT> shingle ids → ARRAY<BIGINT> signature(num_perm)."""
+    a, b = minhash_params(cfg.num_perm, cfg.seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(sids: pd.Series) -> pd.Series:
+        lens = sids.map(len).to_numpy(dtype=np.int64)
+        offsets = np.zeros(lens.shape[0], dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in sids])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        sig = minhash_kernel(offsets, flat, a, b)
+        return pd.Series(list(sig))
+
+    return minhash_udf
+
+
+def minhash_exact_np(id_sets: list[np.ndarray], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Oracle-side helper (tests): per-set MinHash, plain loop. (n, k)."""
+    out = np.full((len(id_sets), a.shape[0]), P, dtype=np.int64)
+    for i, ids in enumerate(id_sets):
+        if len(ids):
+            h = (np.asarray(ids, dtype=np.int64)[:, None] % P * a[None, :] + b[None, :]) % P
+            out[i] = h.min(axis=0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Declarative (SQL-parity) form — used by the DuckDB-checked driver queries.
+# ---------------------------------------------------------------------------
+
+def hash_params_values_sql(cfg: DedupConfig) -> str:
+    """VALUES relation (j, a, b) with the driver-generated coefficients —
+    valid in both Spark SQL and DuckDB."""
+    a, b = minhash_params(cfg.num_perm, cfg.seed)
+    rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(cfg.num_perm))
+    return f"(VALUES {rows}) AS hp(j, a, b)"
+
+
+def minhash_long_sql(cfg: DedupConfig, shingle_rel: str) -> str:
+    """SQL body: (doc_id, j, h) minhash values in long format.
+
+    ``shingle_rel`` exposes (doc_id, sid) distinct shingle ids.
+    Identical text runs in Spark SQL and DuckDB.
+    """
+    return f"""
+SELECT s.doc_id, hp.j, MIN(((s.sid % {P}) * hp.a + hp.b) % {P}) AS h
+FROM {shingle_rel} s CROSS JOIN {hash_params_values_sql(cfg)}
+GROUP BY s.doc_id, hp.j
+""".strip()

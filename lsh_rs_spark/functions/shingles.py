@@ -1,0 +1,112 @@
+"""Text → shingle-set front end (absent in the reference, which takes
+pre-shingled indicator vectors — "length of the shingles vector",
+`lsh-rs/src/lib.rs:81-92`; presence test `lsh-rs/src/hash.rs:284-302`).
+
+We keep the sparse form — the set of shingle *ids* — which is the same
+Jaccard estimator over an unbounded vocabulary (no dim-bounded permutation
+array needed at web scale).
+
+Everything here is a pure Spark Column expression (JVM-side, whole-stage
+codegen; no Python in the hot path).  The `text` column is never modified:
+normalization (lowercasing) happens only in the derived shingle values
+(north rule: byte-identical `text` per url).
+
+DuckDB-equivalent SQL builders live alongside each Column builder so driver
+oracle queries express the exact same computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from lsh_rs_spark.config import DedupConfig
+from lsh_rs_spark.functions.hashing import md5_64_sql, shingle_id
+
+
+def _maybe_lower(c: Column, lowercase: bool) -> Column:
+    return F.lower(c) if lowercase else c
+
+
+def word_shingles(text: Column | str, n: int, lowercase: bool = False) -> Column:
+    """ARRAY<STRING> of word n-grams (space-joined), duplicates preserved.
+
+    Documents shorter than n words contribute a single whole-text shingle,
+    so every non-null document has >= 1 shingle (MinHash of the empty set is
+    undefined).
+    """
+    t = _maybe_lower(F.col(text) if isinstance(text, str) else text, lowercase)
+    w = F.split(t, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def word_shingles_sql(text_expr: str, n: int, lowercase: bool = False) -> str:
+    """DuckDB fragment producing the same ARRAY<VARCHAR> as word_shingles."""
+    t = f"LOWER({text_expr})" if lowercase else text_expr
+    w = f"STRING_SPLIT({t}, ' ')"
+    grams = (
+        f"LIST_TRANSFORM(RANGE(1, LEN({w}) - {n - 2}), "
+        f"i -> ARRAY_TO_STRING(({w})[i:i+{n - 1}], ' '))"
+    )
+    return (
+        f"CASE WHEN LEN({w}) >= {n} THEN {grams} "
+        f"ELSE [ARRAY_TO_STRING({w}, ' ')] END"
+    )
+
+
+def char_shingles(text: Column | str, n: int, lowercase: bool = False) -> Column:
+    """ARRAY<STRING> of character n-grams; short docs → whole text."""
+    t = _maybe_lower(F.col(text) if isinstance(text, str) else text, lowercase)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: F.substring(t, i, n),
+    )
+    return F.when(F.length(t) >= n, grams).otherwise(F.array(t))
+
+
+def char_shingles_sql(text_expr: str, n: int, lowercase: bool = False) -> str:
+    t = f"LOWER({text_expr})" if lowercase else text_expr
+    grams = (
+        f"LIST_TRANSFORM(RANGE(1, LEN({t}) - {n - 2}), "
+        f"i -> ({t})[i:i+{n - 1}])"
+    )
+    return f"CASE WHEN LEN({t}) >= {n} THEN {grams} ELSE [{t}] END"
+
+
+def shingles_col(cfg: DedupConfig, text: Column | str = "text") -> Column:
+    if cfg.shingle_mode == "word":
+        return word_shingles(text, cfg.shingle_size, cfg.lowercase)
+    return char_shingles(text, cfg.shingle_size, cfg.lowercase)
+
+
+def shingles_sql(cfg: DedupConfig, text_expr: str = "text") -> str:
+    if cfg.shingle_mode == "word":
+        return word_shingles_sql(text_expr, cfg.shingle_size, cfg.lowercase)
+    return char_shingles_sql(text_expr, cfg.shingle_size, cfg.lowercase)
+
+
+def shingle_ids_col(cfg: DedupConfig, text: Column | str = "text") -> Column:
+    """ARRAY<BIGINT> of *distinct* shingle ids — the doc's shingle set."""
+    return F.transform(
+        F.array_distinct(shingles_col(cfg, text)),
+        lambda s: shingle_id(s, cfg.hash_family),
+    )
+
+
+def shingle_set_sql(cfg: DedupConfig, docs_rel: str = "documents") -> str:
+    """DuckDB CTE body: (doc_id, sid) — one row per distinct shingle id.
+
+    ``docs_rel`` must expose (doc_id, text).
+    """
+    return f"""
+SELECT doc_id, {md5_64_sql('s')} AS sid
+FROM (
+  SELECT doc_id, UNNEST({shingles_sql(cfg)}) AS s
+  FROM {docs_rel}
+  WHERE text IS NOT NULL
+)
+GROUP BY doc_id, sid
+""".strip()

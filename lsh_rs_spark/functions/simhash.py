@@ -1,0 +1,105 @@
+"""SimHash (Charikar) signer + Hamming utilities.
+
+Reference semantics: `SignRandomProjections::hash_vec`
+(`lsh-rs/src/hash.rs:34-69`) — k random hyperplanes, keep sign bits.  For
+text we use the standard token-vote construction: each token's hash
+contributes bit j of its own hash value as a ±1 vote to sketch position j;
+the sketch bit is the sign of the vote sum.  This is SRP with hyperplanes
+implied by the token hash bits (Rademacher entries) — same cosine-Hamming
+family, and crucially expressible as exact integer SQL in both Spark and
+DuckDB (the oracle path):
+
+    bit_j(token)  = (token_hash >> j) & 1          -> vote 2*bit-1
+    sketch_bit_j  = 1 if SUM(votes) > 0 else 0     (ties -> 0, pinned)
+    simhash       = SUM(sketch_bit_j << j)
+
+Production kernel: one Arrow batch at a time, NumPy bit-unpack + segment
+sum (`np.add.reduceat`) — no per-row Python.
+
+Hamming distance between sketches: ``bit_count(a ^ b)`` — JVM built-in in
+Spark 3.5+/4.x and DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import LongType
+
+from lsh_rs_spark.config import SimHashConfig
+from lsh_rs_spark.functions.hashing import md5_64_py
+
+
+def simhash_kernel(offsets: np.ndarray, flat_hashes: np.ndarray, n_bits: int) -> np.ndarray:
+    """Segmented SimHash over token hashes. Returns (n_rows,) int64 sketches.
+
+    offsets: row start indices into flat_hashes (as in minhash_kernel).
+    Empty rows → sketch 0.
+    """
+    n = offsets.shape[0]
+    out = np.zeros(n, dtype=np.int64)
+    m = flat_hashes.shape[0]
+    if m == 0:
+        return out
+    ends = np.append(offsets[1:], m)
+    nonempty = np.nonzero(ends > offsets)[0]
+    if nonempty.shape[0] == 0:
+        return out
+    h = flat_hashes.astype(np.uint64)
+    shifts = np.arange(n_bits, dtype=np.uint64)[None, :]
+    weights = (1 << np.arange(n_bits, dtype=np.int64))[None, :]
+    # chunk over rows so the (tokens, n_bits) vote matrix stays ~64 MB
+    rows_per_chunk = max(
+        1, 8_000_000 // (n_bits * max(1, int(np.mean(ends - offsets) + 1)))
+    )
+    for lo in range(0, nonempty.shape[0], rows_per_chunk):
+        rows = nonempty[lo : lo + rows_per_chunk]
+        s, e = offsets[rows[0]], ends[rows[-1]]
+        votes = 2 * ((h[s:e, None] >> shifts) & 1).astype(np.int64) - 1
+        sums = np.add.reduceat(votes, offsets[rows] - s, axis=0)
+        out[rows] = ((sums > 0).astype(np.int64) * weights).sum(axis=1)
+    return out
+
+
+def make_simhash_udf(cfg: SimHashConfig):
+    """pandas_udf: ARRAY<BIGINT> token hashes → BIGINT simhash sketch."""
+
+    n_bits = cfg.n_bits
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(token_hashes: pd.Series) -> pd.Series:
+        lens = token_hashes.map(len).to_numpy(dtype=np.int64)
+        offsets = np.zeros(lens.shape[0], dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in token_hashes])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.Series(simhash_kernel(offsets, flat, n_bits))
+
+    return simhash_udf
+
+
+def simhash_exact_py(tokens: list[str], n_bits: int) -> int:
+    """Oracle-side single-doc SimHash (md5_64 token hashes), for tests."""
+    sums = [0] * n_bits
+    for t in tokens:
+        h = md5_64_py(t)
+        for j in range(n_bits):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    return sum((1 << j) for j in range(n_bits) if sums[j] > 0)
+
+
+def hamming(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def band_expr(sketch: Column | str, band_idx: int, bits_per_band: int) -> Column:
+    """Extract band `band_idx` (low-to-high) of a sketch as its bucket key."""
+    c = F.col(sketch) if isinstance(sketch, str) else sketch
+    mask = (1 << bits_per_band) - 1
+    return F.shiftright(c, band_idx * bits_per_band).bitwiseAND(F.lit(mask))

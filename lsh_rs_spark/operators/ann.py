@@ -1,0 +1,157 @@
+"""Approximate nearest neighbor over dense embeddings.
+
+Baseline: brute-force cosine top-k (the exact oracle, ≙ the reference's
+scipy-`cdist` ground truth, `examples/notebooks/LSH_recall.ipynb` cell 5).
+Scale path: SRP-bucketed candidate generation (≙ `LshSrp`,
+`lsh-py/src/lib.rs:370-400`) + exact re-rank of candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lsh_rs_spark.config import SRPConfig
+from lsh_rs_spark.functions.simhash import band_expr, hamming
+from lsh_rs_spark.functions.vectors import cosine_sim, make_srp_udf, srp_sketch_col
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank): exact top-k by cosine.
+
+    Query side is expected small → broadcast; the cross join then streams
+    the corpus once per partition with no shuffle of the big side.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_sim("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def srp_sketches(
+    emb: DataFrame,
+    cfg: SRPConfig,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_udf: bool = True,
+) -> DataFrame:
+    """(vec_id, srp) — sign-random-projection sketch per embedding.
+
+    use_udf=True → BLAS batch kernel (production); False → pure Column
+    expressions (oracle-parity path, identical values).
+    """
+    sk = (
+        make_srp_udf(cfg.seed, cfg.n_bits, cfg.dim)(vec_col)
+        if use_udf
+        else srp_sketch_col(vec_col, cfg.seed, cfg.n_bits, cfg.dim)
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), sk.alias("srp"))
+
+
+def srp_candidate_pairs(sketches: DataFrame, cfg: SRPConfig) -> DataFrame:
+    """LSH banding over SRP sketches → distinct (src, dst) candidates."""
+    bands = [
+        sketches.select(
+            F.lit(bi).alias("band_idx"),
+            band_expr("srp", bi, cfg.bits_per_band).alias("band_key"),
+            F.col("vec_id"),
+        )
+        for bi in range(cfg.bands)
+    ]
+    long = bands[0]
+    for b in bands[1:]:
+        long = long.unionByName(b)
+    l, r = long.alias("l"), long.alias("r")
+    return (
+        l.join(r, ["band_idx", "band_key"])
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("src"), F.col("r.vec_id").alias("dst"))
+        .distinct()
+    )
+
+
+def srp_hamming_pairs(sketches: DataFrame, cfg: SRPConfig, max_hamming: int) -> DataFrame:
+    """Candidates + exact sketch-Hamming filter (cheap pre-verify)."""
+    pairs = srp_candidate_pairs(sketches, cfg)
+    sk = F.broadcast(sketches)
+    return (
+        pairs
+        .join(sk.select(F.col("vec_id").alias("src"), F.col("srp").alias("h_src")), "src")
+        .join(sk.select(F.col("vec_id").alias("dst"), F.col("srp").alias("h_dst")), "dst")
+        .withColumn("hamming", hamming("h_src", "h_dst").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("src", "dst", "hamming")
+    )
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cfg: SRPConfig,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path ANN: SRP bucket probe → exact cosine re-rank of candidates."""
+    corpus_sk = srp_sketches(corpus, cfg, id_col, vec_col)
+    query_sk = srp_sketches(queries, cfg, id_col, vec_col)
+    q_bands = [
+        query_sk.select(
+            F.lit(bi).alias("band_idx"),
+            band_expr("srp", bi, cfg.bits_per_band).alias("band_key"),
+            F.col("vec_id").alias("query_id"),
+        )
+        for bi in range(cfg.bands)
+    ]
+    qb = q_bands[0]
+    for b in q_bands[1:]:
+        qb = qb.unionByName(b)
+    c_bands = [
+        corpus_sk.select(
+            F.lit(bi).alias("band_idx"),
+            band_expr("srp", bi, cfg.bits_per_band).alias("band_key"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        for bi in range(cfg.bands)
+    ]
+    cb = c_bands[0]
+    for b in c_bands[1:]:
+        cb = cb.unionByName(b)
+    cand = (
+        F.broadcast(qb).join(cb, ["band_idx", "band_key"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand
+        .join(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "query_id")
+        .join(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "neighbor_id")
+        .withColumn("cos", cosine_sim("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

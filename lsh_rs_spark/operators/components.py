@@ -1,0 +1,112 @@
+"""Connected components over the verified edge table → cluster ids.
+
+Absent in the reference (it stops at candidate buckets; SURVEY.md §2.11) —
+required by the north rule.  Algorithm: iterative **hash-min label
+propagation** (the standard Spark CC construction; converges in O(diameter)
+rounds, and near-dup clusters are shallow).  Each iteration:
+
+    label'(v) = min(label(v), min over neighbors u of label(u))
+
+Driver loops with ``localCheckpoint`` per round to truncate lineage
+(Catalyst does not iterate; SURVEY.md §4.2) and stops when no label
+changed or ``cc_max_iters`` is hit.  Cluster id = min doc_id reachable.
+
+At 100 TB scale the edge table is repartitioned once on ``src`` and reused
+every round; label updates shuffle only the (node, label) pairs, which is
+orders of magnitude smaller than the documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """(src,dst) → both directions, deduped."""
+    e = edges.select("src", "dst")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 25, checkpoint: bool = True
+) -> DataFrame:
+    """edges(src,dst) → (doc_id, cluster_id) for every node in the graph."""
+    sym = symmetrize(edges)
+    sym = sym.repartition("src").persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # candidate labels flowing across edges
+        prop = (
+            sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", "cluster_id")
+
+
+def with_singletons(labels: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Every doc gets a cluster id; docs absent from the edge graph are their
+    own singleton cluster."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+
+
+def cluster_summary(labels: DataFrame, min_size: int = 2) -> DataFrame:
+    """Flagship rollup: (cluster_id, n_docs, min_doc_id, max_doc_id)."""
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") >= min_size)
+    )
+
+
+def dedup_representatives(all_labels: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) → keep-list: representative = min doc_id.
+
+    The output of the whole pipeline a training-data job consumes:
+    one row per doc with its cluster and whether it survives dedup.
+    """
+    return all_labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )

@@ -1,0 +1,130 @@
+"""Core LSH dataflow operators: signatures → bands → buckets → candidates.
+
+Spark translation of the reference's hash-table machinery:
+
+* band explosion ≙ storing into L hash tables (`lsh-rs/src/lsh/lsh.rs:265-274`
+  outer loop over hashers); `band_idx` ≙ ``table_idx``, `band_key` ≙ the
+  serialized K-length hash (`lsh-rs/src/table/sqlite.rs:13-21` blob key).
+* bucket construction ≙ `HashTables::put` grouping ids by identical hash
+  (`lsh-rs/src/table/mem.rs:69-74`).
+* candidate pairing ≙ the implicit "ids sharing a bucket collide" semantics
+  of `query_bucket` (`lsh-rs/src/table/mem.rs:139-145`) turned into a
+  within-bucket self-join with canonical ``src < dst`` order.
+* bucket_stats ≙ `describe` (`lsh-rs/src/table/mem.rs:156-197`, SQLite
+  variant `sqlite.rs:284-321`) — our skew monitor.
+
+Skew policy (north rule: explicit, never silent): buckets larger than
+``max_bucket_size`` are *dropped before pairing* and surfaced through
+``bucket_stats``/``dropped_buckets`` counters.  O(m²) pair blowup inside a
+hot bucket (boilerplate pages, empty text) is the one failure mode AQE
+cannot fix; capping + the exact-verify stage keeps recall loss measurable.
+At 100 TB the bucket table is additionally salted by ``pmod(band_key, S)``
+purely for write parallelism — the join keys stay (band_idx, band_key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window
+
+from lsh_rs_spark.config import DedupConfig
+from lsh_rs_spark.functions.minhash import make_minhash_udf
+from lsh_rs_spark.functions.shingles import shingle_ids_col
+
+
+def signatures(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+    """docs(id, text) → (id, shingles ARRAY<BIGINT>, minhash ARRAY<BIGINT>).
+
+    Production path: shingling/hashing JVM-side, MinHash in one Arrow kernel.
+    """
+    sh = docs.where(F.col("text").isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        shingle_ids_col(cfg).alias("shingles"),
+    )
+    return sh.withColumn("minhash", make_minhash_udf(cfg)("shingles"))
+
+
+def explode_bands(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(doc_id, minhash) → long (band_idx, band_key, doc_id).
+
+    band_key is the '-'-joined slice of r minhash values — the Spark
+    equivalent of the reference's serialized hash blob key.
+    """
+    r = cfg.rows_per_band
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda bi: F.struct(
+            bi.cast("int").alias("band_idx"),
+            F.concat_ws(
+                "-",
+                F.transform(F.slice("minhash", bi * r + 1, r), lambda h: h.cast("string")),
+            ).alias("band_key"),
+        ),
+    )
+    return (
+        sig.select("doc_id", F.explode(bands).alias("b"))
+        .select("b.band_idx", "b.band_key", "doc_id")
+    )
+
+
+def bucket_sizes(buckets: DataFrame) -> DataFrame:
+    return buckets.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+
+
+def bucket_stats(buckets: DataFrame) -> DataFrame:
+    """`describe` analogue (A3): per band, bucket-count / avg / max / skew feed."""
+    return (
+        bucket_sizes(buckets)
+        .groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("bucket_size").alias("n_entries"),
+            F.avg("bucket_size").alias("avg_bucket_size"),
+            F.max("bucket_size").alias("max_bucket_size"),
+            F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0)).alias(
+                "n_colliding_buckets"
+            ),
+        )
+        .orderBy("band_idx")
+    )
+
+
+def capped_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Drop hot buckets (> max_bucket_size) — the explicit skew guard.
+
+    Window-count keeps a single shuffle on (band_idx, band_key); the same
+    partitioning immediately feeds the pairing self-join.
+    """
+    w = Window.partitionBy("band_idx", "band_key")
+    return (
+        buckets.withColumn("bucket_size", F.count("*").over(w))
+        .where(
+            (F.col("bucket_size") >= 2)
+            & (F.col("bucket_size") <= cfg.max_bucket_size)
+        )
+        .drop("bucket_size")
+    )
+
+
+def dropped_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Counter stream for the lineage manifest: what the cap removed."""
+    return bucket_sizes(buckets).where(F.col("bucket_size") > cfg.max_bucket_size)
+
+
+def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Within-bucket self-join → distinct (src, dst), src < dst.
+
+    Equi-join on (band_idx, band_key): Catalyst picks shuffle-hash/SMJ; AQE
+    splits residual skew.  The cap above bounds per-bucket fanout to
+    max_bucket_size² — at the default 2000 that is ≤ 4M rows per hot key,
+    within one executor's task budget.
+    """
+    b = capped_buckets(buckets, cfg)
+    l, r_ = b.alias("l"), b.alias("r")
+    return (
+        l.join(r_, ["band_idx", "band_key"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst"))
+        .distinct()
+    )

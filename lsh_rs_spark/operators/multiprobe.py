@@ -1,0 +1,109 @@
+"""Multi-probe query expansion (reference §2.10).
+
+Step-wise probing for sign-family sketches: enumerate hash perturbations by
+±bit flips, 1-flip probes first, then 2-flip combinations, until the probe
+budget is exhausted — `lsh-rs/src/multi_probe.rs:108-179` (SRP flip impl
+`:33-61`).  In Spark this is a *data* transformation, not a planner rule:
+each query's band keys are exploded into (budget) perturbed keys and fed to
+the very same bucket equi-join (SURVEY.md §4.2).
+
+The perturbation order matches the reference: ``step_wise_probing`` yields
+all C(n_bits, 1) single flips, then C(n_bits, 2) double flips, ... and
+truncates to the budget (`multi_probe.rs:127-150`).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lsh_rs_spark.config import SRPConfig, SimHashConfig
+from lsh_rs_spark.functions.simhash import band_expr
+
+
+def flip_masks(n_bits: int, budget: int) -> list[int]:
+    """XOR masks in step-wise order: 0 flips (base probe), 1 flip, 2 flips…
+
+    Mirrors `step_wise_probing(hash_len, budget)`: probes beyond the base
+    hash are capped at `budget`; flips enumerate low→high bit positions.
+    """
+    masks = [0]
+    remaining = budget
+    k = 1
+    while remaining > 0 and k <= n_bits:
+        for combo in combinations(range(n_bits), k):
+            if remaining == 0:
+                break
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+            remaining -= 1
+        k += 1
+    return masks
+
+
+def multiprobe_band_keys(
+    sketches: DataFrame,
+    bands: int,
+    bits_per_band: int,
+    budget: int,
+    id_alias: str = "query_id",
+) -> DataFrame:
+    """(band_idx, band_key, query_id, probe_rank) — perturbed probe keys.
+
+    probe_rank 0 is the base probe; >0 are flips in step-wise order.
+    """
+    out = None
+    for bi in range(bands):
+        base = band_expr("simhash" if "simhash" in sketches.columns else "srp", bi, bits_per_band)
+        masks = flip_masks(bits_per_band, budget)
+        probes = F.array(*[F.lit(m).cast("long") for m in masks])
+        df = sketches.select(
+            F.lit(bi).alias("band_idx"),
+            base.alias("base_key"),
+            F.col(sketches.columns[0]).alias(id_alias),
+        ).select(
+            "band_idx",
+            F.posexplode(probes).alias("probe_rank", "mask"),
+            F.col(id_alias),
+            F.col("base_key"),
+        ).select(
+            "band_idx",
+            F.col("base_key").bitwiseXOR(F.col("mask")).alias("band_key"),
+            F.col(id_alias),
+            "probe_rank",
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def multiprobe_candidates(
+    query_sketches: DataFrame,
+    corpus_sketches: DataFrame,
+    cfg: SimHashConfig | SRPConfig,
+    budget: int,
+) -> DataFrame:
+    """Multi-probe bucket union (≙ `multi_probe_bucket_union`,
+    `multi_probe.rs:387-418`): distinct (query_id, doc_id) candidates."""
+    sketch_col = "simhash" if "simhash" in corpus_sketches.columns else "srp"
+    id_col = corpus_sketches.columns[0]
+    corpus_bands = None
+    for bi in range(cfg.bands):
+        b = corpus_sketches.select(
+            F.lit(bi).alias("band_idx"),
+            band_expr(sketch_col, bi, cfg.bits_per_band).alias("band_key"),
+            F.col(id_col).alias("doc_id"),
+        )
+        corpus_bands = b if corpus_bands is None else corpus_bands.unionByName(b)
+    probes = multiprobe_band_keys(
+        query_sketches, cfg.bands, cfg.bits_per_band, budget
+    )
+    return (
+        F.broadcast(probes)
+        .join(corpus_bands, ["band_idx", "band_key"])
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )

@@ -1,0 +1,100 @@
+"""Query path: the reference's ``predict`` re-expressed as DataFrames.
+
+Reference lifecycle (`lsh-py/floky/__init__.py:195-250` +
+`lsh-rs/src/lsh/lsh.rs:464-508`): sign query → probe L tables → union
+candidate ids → exact distance re-rank → top-k → QueryResult
+(index, n_collisions, distances).
+
+Spark shape (SURVEY.md §3.2): queries signed with the *same* broadcast
+parameters → explode band keys → equi-join the bucket table (J1) → dedup
+candidates (A1 bucket-union ≙ groupBy) → exact re-rank (Jaccard here) →
+window top-k (W1, `lsh-py/src/dist.rs:26-52`).
+
+When the query set is small (the common case) the exploded query keys are
+broadcast so probing never shuffles the big bucket table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lsh_rs_spark.config import DedupConfig
+from lsh_rs_spark.operators.lsh import explode_bands
+from lsh_rs_spark.operators.verify import shingle_table
+
+
+def probe_buckets(
+    query_sig: DataFrame,
+    buckets: DataFrame,
+    cfg: DedupConfig,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(query_id, minhash) × bucket table → candidate (query_id, doc_id)
+    with n_collisions (number of bands agreeing — the reference's
+    ``n_collisions``, `lsh-py/floky/__init__.py:240-248`)."""
+    qb = explode_bands(
+        query_sig.select(F.col("query_id").alias("doc_id"), "minhash"), cfg
+    ).select("band_idx", "band_key", F.col("doc_id").alias("query_id"))
+    if broadcast_queries:
+        qb = F.broadcast(qb)
+    hits = qb.join(buckets, ["band_idx", "band_key"])
+    return (
+        hits.where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_collisions"))
+    )
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    query_sig: DataFrame,
+    corpus_sig: DataFrame,
+    k: int,
+    cfg: DedupConfig,
+) -> DataFrame:
+    """Exact-Jaccard re-rank + per-query top-k.
+
+    Ties broken by doc_id ascending (pinned, deterministic).
+    Returns (query_id, doc_id, n_collisions, jaccard, rank).
+    """
+    qs = shingle_table(query_sig.select(F.col("query_id").alias("doc_id"), "shingles")) \
+        .select(F.col("doc_id").alias("query_id"), "sid")
+    cs = shingle_table(corpus_sig.select("doc_id", "shingles"))
+    q_sizes = qs.groupBy("query_id").agg(F.count("*").alias("n_q"))
+    c_sizes = cs.groupBy("doc_id").agg(F.count("*").alias("n_d"))
+    inter = (
+        candidates.join(qs, "query_id")
+        .join(cs, ["doc_id", "sid"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        candidates.join(inter, ["query_id", "doc_id"], "left")
+        .na.fill({"n_common": 0})
+        .join(q_sizes, "query_id")
+        .join(c_sizes, "doc_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_q") + F.col("n_d") - F.col("n_common")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_collisions", "jaccard", "rank")
+    )
+
+
+def knn(
+    query_sig: DataFrame,
+    corpus_sig: DataFrame,
+    buckets: DataFrame,
+    k: int,
+    cfg: DedupConfig,
+) -> DataFrame:
+    """Full predict path: probe → union → re-rank → top-k."""
+    cand = probe_buckets(query_sig, buckets, cfg)
+    return rerank_topk(cand, query_sig, corpus_sig, k, cfg)

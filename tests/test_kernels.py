@@ -1,0 +1,121 @@
+"""Pure-NumPy kernel tests (no Spark) — reference-style assertions:
+signature length == K, identical inputs → identical signatures
+(`lsh-rs/src/hash.rs:305-332`), plus exact agreement between the batched
+segment kernels and naive per-row computation, and the MinHash Jaccard
+estimator's accuracy on planted sets."""
+
+import hashlib
+
+import numpy as np
+
+from lsh_rs_spark.config import MERSENNE31
+from lsh_rs_spark.functions.hashing import (
+    md5_64_py,
+    minhash_params,
+    universal_hash_np,
+)
+from lsh_rs_spark.functions.minhash import minhash_exact_np, minhash_kernel
+from lsh_rs_spark.functions.simhash import simhash_exact_py, simhash_kernel
+
+P = MERSENNE31
+
+
+def test_md5_64_py_matches_known():
+    # same value the Spark/DuckDB expressions produce for 'hello'
+    assert md5_64_py("hello") == 419982666956583591
+    assert md5_64_py("hello") == int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+
+
+def test_minhash_params_deterministic():
+    a1, b1 = minhash_params(16, 42)
+    a2, b2 = minhash_params(16, 42)
+    assert (a1 == a2).all() and (b1 == b2).all()
+    a3, _ = minhash_params(16, 43)
+    assert (a1 != a3).any()
+    assert (a1 >= 1).all() and (a1 < P).all()
+    assert (b1 >= 0).all() and (b1 < P).all()
+
+
+def test_minhash_kernel_matches_naive():
+    rng = np.random.default_rng(0)
+    a, b = minhash_params(32, 7)
+    sets = [rng.integers(0, 2**60, size=rng.integers(0, 40)) for _ in range(50)]
+    lens = np.array([len(s) for s in sets])
+    offsets = np.zeros(len(sets), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    flat = np.concatenate([s for s in sets if len(s)]) if lens.sum() else np.empty(0, np.int64)
+    got = minhash_kernel(offsets, flat.astype(np.int64), a, b)
+    want = minhash_exact_np([np.asarray(s) for s in sets], a, b)
+    assert got.shape == (50, 32)
+    assert (got == want).all()
+    # empty sets → sentinel
+    for i, s in enumerate(sets):
+        if len(s) == 0:
+            assert (got[i] == P).all()
+
+
+def test_minhash_identical_sets_identical_sigs():
+    a, b = minhash_params(16, 42)
+    ids = np.array([3, 99, 12345, 3], dtype=np.int64)
+    s1 = minhash_exact_np([ids], a, b)
+    s2 = minhash_exact_np([np.unique(ids)], a, b)  # set semantics: dups no-op
+    assert (s1 == s2).all()
+
+
+def test_minhash_jaccard_estimator():
+    # planted overlap: |A∩B|/|A∪B| = 0.8; estimator within ~3 sigma
+    rng = np.random.default_rng(1)
+    common = rng.integers(0, 2**60, size=800)
+    a_only = rng.integers(0, 2**60, size=100)
+    b_only = rng.integers(0, 2**60, size=100)
+    A = np.concatenate([common, a_only])
+    B = np.concatenate([common, b_only])
+    k = 256
+    a, b = minhash_params(k, 5)
+    sigs = minhash_exact_np([A, B], a, b)
+    est = (sigs[0] == sigs[1]).mean()
+    true_j = 800 / 1000
+    assert abs(est - true_j) < 3 * np.sqrt(true_j * (1 - true_j) / k)
+
+
+def test_universal_hash_matches_sql_formula():
+    ids = np.array([0, 1, P - 1, 2**60], dtype=np.int64)
+    a = np.array([12345], dtype=np.int64)
+    b = np.array([678], dtype=np.int64)
+    got = universal_hash_np(ids, a, b)[:, 0]
+    want = [((int(x) % P) * 12345 + 678) % P for x in ids]
+    assert got.tolist() == want
+
+
+def test_simhash_kernel_matches_naive():
+    rng = np.random.default_rng(2)
+    token_lists = [
+        ["tok%d" % t for t in rng.integers(0, 50, size=rng.integers(0, 30))]
+        for _ in range(40)
+    ]
+    n_bits = 32
+    flat = []
+    offsets = []
+    pos = 0
+    for toks in token_lists:
+        offsets.append(pos)
+        flat.extend(md5_64_py(t) for t in toks)
+        pos += len(toks)
+    got = simhash_kernel(
+        np.array(offsets, dtype=np.int64), np.array(flat, dtype=np.int64), n_bits
+    )
+    for i, toks in enumerate(token_lists):
+        assert got[i] == simhash_exact_py(toks, n_bits), i
+
+
+def test_simhash_similar_docs_low_hamming():
+    base = ["w%d" % i for i in range(200)]
+    variant = base[:190] + ["x%d" % i for i in range(10)]
+    other = ["y%d" % i for i in range(200)]
+    h1 = simhash_exact_py(base, 48)
+    h2 = simhash_exact_py(variant, 48)
+    h3 = simhash_exact_py(other, 48)
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13
+    assert d12 <= 10

@@ -1,0 +1,143 @@
+"""Spark ↔ NumPy ↔ DuckDB agreement for the function layer.
+
+The oracle-parity invariant everything else rests on: the md5_64 hash
+family, shingling, MinHash, SimHash and the text functions produce
+bit-identical values whether computed by Spark Column expressions, the
+Arrow/NumPy kernels, or DuckDB SQL."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_rs_spark.config import DedupConfig, SimHashConfig
+from lsh_rs_spark.functions.hashing import (
+    md5_64,
+    md5_64_py,
+    md5_64_sql,
+    minhash_params,
+)
+from lsh_rs_spark.functions.minhash import make_minhash_udf, minhash_exact_np
+from lsh_rs_spark.functions.shingles import (
+    shingle_ids_col,
+    shingles_col,
+    shingles_sql,
+    word_shingles,
+)
+from lsh_rs_spark.functions import text as T
+from lsh_rs_spark.operators.simhash_ops import simhash_sketches
+
+CFG = DedupConfig(num_perm=16, bands=4, rows_per_band=4, seed=42)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "completely different content with no overlap at all"),
+    (3, "a b"),  # shorter than shingle size
+    (4, ""),  # empty
+    (5, "der hund und die katze sind nicht da"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_md5_64_spark_duckdb_python_agree(spark, docs_df):
+    got = {
+        r["text"]: r["h"]
+        for r in docs_df.where(F.col("text") != "")
+        .select("text", md5_64("text").alias("h"))
+        .collect()
+    }
+    for s, h in got.items():
+        assert h == md5_64_py(s)
+        (dh,) = duckdb.sql(f"SELECT {md5_64_sql('?')}", params=[s]).fetchone()
+        assert h == dh
+
+
+def test_word_shingles_spark_vs_duckdb(spark, docs_df):
+    sp = {
+        r["doc_id"]: r["sh"]
+        for r in docs_df.select(
+            "doc_id", shingles_col(CFG).alias("sh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", docs_df.toPandas())
+    du = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT doc_id, {shingles_sql(CFG)} AS sh FROM docs"
+        ).fetchall()
+    }
+    assert sp == du
+    # doc 0: 9 words → 7 trigrams; doc 3: fallback single shingle
+    assert len(sp[0]) == 7
+    assert sp[3] == ["a b"]
+
+
+def test_minhash_udf_matches_naive_and_sql(spark, docs_df):
+    sig_df = docs_df.where(F.col("text").isNotNull()).select(
+        "doc_id", shingle_ids_col(CFG).alias("shingles")
+    )
+    sig = sig_df.withColumn("minhash", make_minhash_udf(CFG)("shingles"))
+    rows = {r["doc_id"]: (r["shingles"], r["minhash"]) for r in sig.collect()}
+    a, b = minhash_params(CFG.num_perm, CFG.seed)
+    for doc_id, (sh, mh) in rows.items():
+        want = minhash_exact_np([np.asarray(sh, dtype=np.int64)], a, b)[0]
+        assert mh == want.tolist(), doc_id
+        assert len(mh) == CFG.num_perm
+
+
+def test_minhash_near_dup_signatures_mostly_agree(spark, docs_df):
+    sig = (
+        docs_df.where(F.col("doc_id").isin(0, 1, 2))
+        .select("doc_id", shingle_ids_col(CFG).alias("sh"))
+        .withColumn("mh", make_minhash_udf(CFG)("sh"))
+    )
+    got = {r["doc_id"]: r["mh"] for r in sig.collect()}
+    agree01 = sum(x == y for x, y in zip(got[0], got[1]))
+    agree02 = sum(x == y for x, y in zip(got[0], got[2]))
+    assert agree01 > agree02
+    assert agree02 == 0
+
+
+def test_simhash_udf_vs_declarative(spark, docs_df):
+    cfg = SimHashConfig(n_bits=32, bands=4)
+    d = docs_df.where(F.col("text") != "")
+    udf_sk = {r["doc_id"]: r["simhash"] for r in simhash_sketches(d, cfg, use_udf=True).collect()}
+    dec_sk = {r["doc_id"]: r["simhash"] for r in simhash_sketches(d, cfg, use_udf=False).collect()}
+    assert udf_sk == dec_sk
+
+
+def test_text_functions_spark_vs_duckdb(spark, docs_df):
+    sp = docs_df.select(
+        "doc_id",
+        T.token_count_ws("text").alias("ws"),
+        T.token_count_bpe("text").alias("bpe"),
+        T.lang_id("text").alias("lang"),
+        T.punct_count("text").alias("punct"),
+        T.stopword_count("text").alias("sw"),
+        T.doc_fingerprint("text").alias("fp"),
+    ).collect()
+    con = duckdb.connect()
+    con.register("docs", docs_df.toPandas())
+    du = {
+        r[0]: r[1:]
+        for r in con.sql(
+            f"""SELECT doc_id, {T.token_count_ws_sql('text')},
+                {T.token_count_bpe_sql('text')}, {T.lang_id_sql('text')},
+                {T.punct_count_sql('text')}, {T.stopword_count_sql('text')},
+                {T.doc_fingerprint_sql('text')} FROM docs"""
+        ).fetchall()
+    }
+    for r in sp:
+        assert (r["ws"], r["bpe"], r["lang"], r["punct"], r["sw"], r["fp"]) == du[
+            r["doc_id"]
+        ], r["doc_id"]
+    by_id = {r["doc_id"]: r for r in sp}
+    assert by_id[0]["lang"] == "en"
+    assert by_id[5]["lang"] == "de"
+    assert by_id[4]["ws"] == 0
