@@ -93,14 +93,18 @@ def srp_sketch_col(vec: Column | str, seed: int, n_bits: int, dim: int) -> Colum
     planes = srp_planes(seed, n_bits, dim).astype(np.int64)
     v = _c(vec)
     sketch = F.lit(0).cast("long")
-    for j in range(n_bits):
-        terms = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i, _j=j: F.element_at(
-                F.array(*[F.lit(int(s)) for s in planes[_j]]), i + 1
-            ).cast("double")
-            * F.element_at(v, i + 1).cast("double"),
+
+    def _term_fn(row: np.ndarray):
+        # closure factory: keeps the transform lambda at arity 1 (element
+        # only) — a 2-arg lambda would be treated as (element, index)
+        signs = F.array(*[F.lit(int(s)) for s in row])
+        return lambda i: (
+            F.element_at(signs, i + 1).cast("double")
+            * F.element_at(v, i + 1).cast("double")
         )
+
+    for j in range(n_bits):
+        terms = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _term_fn(planes[j]))
         proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
         sketch = sketch + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")

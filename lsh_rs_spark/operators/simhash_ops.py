@@ -25,9 +25,15 @@ def token_hashes(docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id") ->
     """(doc_id, tok_hashes ARRAY<BIGINT>) — whitespace tokens, empties dropped,
     duplicates preserved (SimHash weights by term frequency)."""
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    return docs.where(F.col("text").isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(toks, lambda t: shingle_id(t, cfg.hash_family)).alias("tok_hashes"),
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(toks, lambda t: shingle_id(t, cfg.hash_family)).alias(
+                "tok_hashes"
+            ),
+        )
+        .where(F.size("tok_hashes") > 0)
     )
 
 

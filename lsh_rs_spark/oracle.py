@@ -1,0 +1,412 @@
+"""DuckDB oracle SQL builders — the exact relational twins of the Spark
+operators, used by ``__spark_entry__.oracle_sql()``.
+
+Every builder mirrors one Spark operator *to the integer/double*: the pinned
+md5_64 hash family, universal-hash MinHash, '-'-joined band keys, capped
+bucket pairing, exact-Jaccard edges, recursive-CTE connected components.
+The reference's own test strategy is an exact-computation oracle
+(scipy cdist, `lsh-py/test/test_.py:26`); this module is that idea applied
+to every stage.
+
+The driver pre-registers parquet views named `documents` / `embeddings`.
+"""
+
+from __future__ import annotations
+
+from lsh_rs_spark.config import MERSENNE31, DedupConfig, SimHashConfig, SRPConfig
+from lsh_rs_spark.functions.hashing import md5_64_sql, minhash_params
+from lsh_rs_spark.functions.shingles import shingles_sql
+from lsh_rs_spark.functions.vectors import srp_sketch_sql
+
+P = MERSENNE31
+
+
+# ---------------------------------------------------------------------------
+# shared CTE chain for the MinHash pipeline
+# ---------------------------------------------------------------------------
+
+def _hash_params_rows(cfg: DedupConfig) -> str:
+    a, b = minhash_params(cfg.num_perm, cfg.seed)
+    return ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(cfg.num_perm))
+
+
+def dedup_ctes(cfg: DedupConfig, docs_rel: str = "documents") -> str:
+    """The full CTE chain: docs → shingle_set → minhash_long → buckets →
+    bucket_ok → cand_pairs → edges.  Append a final SELECT to use."""
+    r = cfg.rows_per_band
+    return f"""
+docs AS (
+  SELECT doc_id, text FROM {docs_rel} WHERE text IS NOT NULL
+),
+shingle_set AS (
+  SELECT doc_id, {md5_64_sql('s')} AS sid
+  FROM (SELECT doc_id, UNNEST({shingles_sql(cfg)}) AS s FROM docs)
+  GROUP BY doc_id, sid
+),
+doc_sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingle_set GROUP BY doc_id
+),
+hp(j, a, b) AS (VALUES {_hash_params_rows(cfg)}),
+minhash_long AS (
+  SELECT s.doc_id, hp.j, MIN(((s.sid % {P}) * hp.a + hp.b) % {P}) AS h
+  FROM shingle_set s CROSS JOIN hp
+  GROUP BY s.doc_id, hp.j
+),
+buckets AS (
+  SELECT doc_id, CAST(j // {r} AS INTEGER) AS band_idx,
+         STRING_AGG(CAST(h AS VARCHAR), '-' ORDER BY j) AS band_key
+  FROM minhash_long
+  GROUP BY doc_id, band_idx
+),
+bucket_ok AS (
+  SELECT band_idx, band_key FROM buckets
+  GROUP BY band_idx, band_key
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {cfg.max_bucket_size}
+),
+cand_pairs AS (
+  SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+  FROM buckets l
+  JOIN buckets r USING (band_idx, band_key)
+  JOIN bucket_ok USING (band_idx, band_key)
+  WHERE l.doc_id < r.doc_id
+),
+edge_inter AS (
+  SELECT p.src, p.dst, COUNT(*) AS n_common
+  FROM cand_pairs p
+  JOIN shingle_set sa ON sa.doc_id = p.src
+  JOIN shingle_set sb ON sb.doc_id = p.dst AND sb.sid = sa.sid
+  GROUP BY p.src, p.dst
+),
+edges AS (
+  SELECT i.src, i.dst, i.n_common,
+         (za.n + zb.n - i.n_common) AS n_union,
+         i.n_common / (za.n + zb.n - i.n_common) AS jaccard
+  FROM edge_inter i
+  JOIN doc_sizes za ON za.doc_id = i.src
+  JOIN doc_sizes zb ON zb.doc_id = i.dst
+  WHERE i.n_common / (za.n + zb.n - i.n_common) >= {cfg.jaccard_threshold}
+)
+""".strip()
+
+
+def q_shingle_stats(cfg: DedupConfig) -> str:
+    return (
+        f"WITH {dedup_ctes(cfg)} "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_shingles FROM doc_sizes"
+    )
+
+
+def q_minhash_signatures(cfg: DedupConfig) -> str:
+    return (
+        f"WITH {dedup_ctes(cfg)} "
+        "SELECT doc_id, CAST(j AS INTEGER) AS j, h FROM minhash_long"
+    )
+
+
+def q_lsh_buckets(cfg: DedupConfig) -> str:
+    return (
+        f"WITH {dedup_ctes(cfg)} "
+        "SELECT band_idx, band_key, doc_id FROM buckets"
+    )
+
+
+def q_bucket_stats(cfg: DedupConfig) -> str:
+    return f"""
+WITH {dedup_ctes(cfg)},
+bs AS (
+  SELECT band_idx, band_key, COUNT(*) AS bucket_size
+  FROM buckets GROUP BY band_idx, band_key
+)
+SELECT band_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(bucket_size) AS BIGINT) AS n_entries,
+       AVG(bucket_size) AS avg_bucket_size,
+       CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size,
+       CAST(SUM(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_colliding_buckets
+FROM bs GROUP BY band_idx
+""".strip()
+
+
+def q_candidate_pairs(cfg: DedupConfig) -> str:
+    return f"WITH {dedup_ctes(cfg)} SELECT src, dst FROM cand_pairs"
+
+
+def q_edges(cfg: DedupConfig) -> str:
+    return (
+        f"WITH {dedup_ctes(cfg)} "
+        "SELECT src, dst, CAST(n_common AS BIGINT) AS n_common, "
+        "CAST(n_union AS BIGINT) AS n_union, jaccard FROM edges"
+    )
+
+
+def _components_ctes(cfg: DedupConfig) -> str:
+    return f"""
+{dedup_ctes(cfg)},
+sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+components AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+""".strip()
+
+
+def q_components(cfg: DedupConfig) -> str:
+    return (
+        f"WITH RECURSIVE {_components_ctes(cfg)} "
+        "SELECT doc_id, cluster_id FROM components"
+    )
+
+
+def q_dup_clusters(cfg: DedupConfig) -> str:
+    return f"""
+WITH RECURSIVE {_components_ctes(cfg)}
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM components GROUP BY cluster_id HAVING COUNT(*) >= 2
+""".strip()
+
+
+def q_dedup_keep_list(cfg: DedupConfig) -> str:
+    return f"""
+WITH RECURSIVE {_components_ctes(cfg)}
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS is_representative
+FROM docs d LEFT JOIN components c ON c.doc_id = d.doc_id
+""".strip()
+
+
+def q_knn_text_topk(cfg: DedupConfig, query_mod: int = 50, k: int = 5) -> str:
+    return f"""
+WITH {dedup_ctes(cfg)},
+qb AS (SELECT * FROM buckets WHERE doc_id % {query_mod} = 0),
+hits AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_collisions
+  FROM qb q JOIN buckets c USING (band_idx, band_key)
+  WHERE c.doc_id <> q.doc_id
+  GROUP BY q.doc_id, c.doc_id
+),
+kn_inter AS (
+  SELECT h.query_id, h.doc_id, COUNT(*) AS n_common
+  FROM hits h
+  JOIN shingle_set sa ON sa.doc_id = h.query_id
+  JOIN shingle_set sb ON sb.doc_id = h.doc_id AND sb.sid = sa.sid
+  GROUP BY h.query_id, h.doc_id
+),
+scored AS (
+  SELECT h.query_id, h.doc_id, h.n_collisions,
+         COALESCE(i.n_common, 0) / (zq.n + zd.n - COALESCE(i.n_common, 0)) AS jaccard
+  FROM hits h
+  LEFT JOIN kn_inter i ON i.query_id = h.query_id AND i.doc_id = h.doc_id
+  JOIN doc_sizes zq ON zq.doc_id = h.query_id
+  JOIN doc_sizes zd ON zd.doc_id = h.doc_id
+)
+SELECT query_id, doc_id, n_collisions, jaccard, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY jaccard DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_ctes(cfg: SimHashConfig, docs_rel: str = "documents") -> str:
+    return f"""
+docs AS (
+  SELECT doc_id, text FROM {docs_rel}
+  WHERE text IS NOT NULL
+    AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) > 0
+),
+toks AS (
+  SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS tok
+  FROM docs
+),
+th AS (SELECT doc_id, {md5_64_sql('tok')} AS h FROM toks),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT UNNEST(RANGE(0, {cfg.n_bits})) AS j)
+  GROUP BY doc_id, j
+),
+sketches AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+""".strip()
+
+
+def q_simhash_signatures(cfg: SimHashConfig) -> str:
+    return f"WITH {simhash_ctes(cfg)} SELECT doc_id, simhash FROM sketches"
+
+
+def q_simhash_pairs(cfg: SimHashConfig) -> str:
+    bpb = cfg.bits_per_band
+    mask = (1 << bpb) - 1
+    return f"""
+WITH {simhash_ctes(cfg)},
+bands AS (
+  SELECT doc_id, simhash, bi AS band_idx,
+         (simhash >> (bi * {bpb})) & {mask} AS band_key
+  FROM sketches CROSS JOIN (SELECT UNNEST(RANGE(0, {cfg.bands})) AS bi)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst,
+         l.simhash AS h_src, r.simhash AS h_dst
+  FROM bands l JOIN bands r USING (band_idx, band_key)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT src, dst, CAST(BIT_COUNT(xor(h_src, h_dst)) AS INTEGER) AS hamming
+FROM pairs
+WHERE BIT_COUNT(xor(h_src, h_dst)) <= {cfg.hamming_threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# text analysis (builders imported from functions.text)
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups() -> str:
+    return """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY text) AS rep_id,
+       CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS group_size
+FROM documents WHERE text IS NOT NULL
+""".strip()
+
+
+def q_token_counts() -> str:
+    from lsh_rs_spark.functions.text import token_count_bpe_sql, token_count_ws_sql
+
+    return (
+        "SELECT doc_id, "
+        f"{token_count_ws_sql('text')} AS n_ws_tokens, "
+        f"{token_count_bpe_sql('text')} AS n_bpe_tokens "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+
+
+def q_quality_scores() -> str:
+    from lsh_rs_spark.functions.text import (
+        punct_count_sql,
+        stopword_count_sql,
+        token_count_ws_sql,
+    )
+
+    return f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       {token_count_ws_sql('text')} AS n_tokens,
+       {punct_count_sql('text')} AS n_punct,
+       {stopword_count_sql('text')} AS n_stopwords,
+       {punct_count_sql('text')} / GREATEST(LENGTH(text), 1) AS punct_ratio,
+       {stopword_count_sql('text')} / GREATEST({token_count_ws_sql('text')}, 1)
+         AS stopword_ratio
+FROM documents WHERE text IS NOT NULL
+""".strip()
+
+
+def q_lang_id() -> str:
+    from lsh_rs_spark.functions.text import lang_id_sql
+
+    return (
+        "SELECT doc_id, lang, "
+        f"{lang_id_sql('text')} AS pred_lang "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+
+
+def q_doc_fingerprints() -> str:
+    from lsh_rs_spark.functions.text import doc_fingerprint_sql
+
+    return (
+        "SELECT doc_id, "
+        f"{doc_fingerprint_sql('text')} AS fingerprint "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: brute-force cosine, near-dup pairs, SRP
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), "
+    "i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (SQRT({na}) * SQRT({nb}))"
+
+
+def q_ann_cosine_topk(query_mod: int = 100, k: int = 5) -> str:
+    cos = _cos("q.embedding", "c.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS cos
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+
+
+def q_embedding_near_dup(threshold: float = 0.45) -> str:
+    cos = _cos("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+""".strip()
+
+
+def q_srp_sketches(cfg: SRPConfig) -> str:
+    return (
+        "SELECT vec_id, "
+        f"{srp_sketch_sql('embedding', cfg.seed, cfg.n_bits, cfg.dim)} AS srp "
+        "FROM embeddings"
+    )
+
+
+def q_srp_pairs(cfg: SRPConfig, max_hamming: int = 2) -> str:
+    bpb = cfg.bits_per_band
+    mask = (1 << bpb) - 1
+    srp = srp_sketch_sql("embedding", cfg.seed, cfg.n_bits, cfg.dim)
+    return f"""
+WITH sk AS (SELECT vec_id, {srp} AS srp FROM embeddings),
+bands AS (
+  SELECT vec_id, srp, bi AS band_idx, (srp >> (bi * {bpb})) & {mask} AS band_key
+  FROM sk CROSS JOIN (SELECT UNNEST(RANGE(0, {cfg.bands})) AS bi)
+),
+pairs AS (
+  SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst, l.srp AS h_src, r.srp AS h_dst
+  FROM bands l JOIN bands r USING (band_idx, band_key)
+  WHERE l.vec_id < r.vec_id
+)
+SELECT src, dst, CAST(BIT_COUNT(xor(h_src, h_dst)) AS INTEGER) AS hamming
+FROM pairs
+WHERE BIT_COUNT(xor(h_src, h_dst)) <= {max_hamming}
+""".strip()
