@@ -200,9 +200,7 @@ def q_srp_pairs(spark, sf_dir):
 
 def q_substring_dups(spark, sf_dir):
     # rows-only check (suffix arrays are not reasonably SQL-expressible)
-    return SX.substring_dup_pairs(
-        _docs(spark, sf_dir), min_match=40, anchor_stride=20
-    )
+    return SX.substring_dup_pairs(_docs(spark, sf_dir), min_match=48, k_gram=16)
 
 
 def q_multiprobe_knn_candidates(spark, sf_dir):

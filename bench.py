@@ -1,0 +1,153 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline: the full MinHash dedup pipeline (production config K=128, b=16,
+r=8) over (a) the driver's documents table and (b) a deterministic synthetic
+web corpus sized to the scale factor — the latter yields the docs/sec
+throughput the north rule tracks.  Scaling evidence (local[8] vs local[32])
+is produced by tools/scaling_bench.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from lsh_rs_spark.config import (  # noqa: E402
+    DedupConfig,
+    ORACLE_SRP,
+    PIPELINE_CONFIG,
+    SimHashConfig,
+)
+from lsh_rs_spark.operators import ann as ANN  # noqa: E402
+from lsh_rs_spark.operators import components as CC  # noqa: E402
+from lsh_rs_spark.operators import lsh as L  # noqa: E402
+from lsh_rs_spark.operators import simhash_ops as SH  # noqa: E402
+from lsh_rs_spark.operators import suffix as SX  # noqa: E402
+from lsh_rs_spark.operators import verify as V  # noqa: E402
+from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = sf_from_dir(SF_DIR)
+SYNTH_PAGES = max(2_000, int(500_000 * SF))  # sf0.1 → 50k pages (+12% dups)
+
+
+def dedup_pipeline_count(docs, cfg) -> int:
+    """signatures → bands → capped pairs → exact-verify edges → CC → reps."""
+    sig = L.signatures(docs, cfg).persist()
+    try:
+        buckets = L.explode_bands(sig, cfg)
+        pairs = L.candidate_pairs(buckets, cfg)
+        edges = V.jaccard_edges(pairs, sig, cfg)
+        comps = CC.connected_components(edges, cfg.cc_max_iters)
+        keep = CC.dedup_representatives(CC.with_singletons(comps, sig))
+        return keep.where(~F.col("is_representative")).count()
+    finally:
+        sig.unpersist()
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("lsh-rs-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # warmup: trigger codegen + python worker pool once, outside the timings
+    warm = with_doc_ids(synth_webpages(spark, 2_000, partitions=CPUS))
+    dedup_pipeline_count(warm, PIPELINE_CONFIG)
+
+    # 1. flagship: production-config dedup on the documents table
+    extras["docs_near_dups_removed"] = timed(
+        "dedup_documents", lambda: dedup_pipeline_count(docs, PIPELINE_CONFIG)
+    )
+
+    # 2. throughput: synthetic web corpus at SF scale (url/warc_ts/html/text/lang)
+    pages = with_doc_ids(synth_webpages(spark, SYNTH_PAGES, partitions=CPUS * 2))
+    n_pages = pages.count()  # materialization cost excluded from dedup timing
+    extras["synth_pages"] = n_pages
+    extras["synth_near_dups_removed"] = timed(
+        "dedup_synth_webpages",
+        lambda: dedup_pipeline_count(pages, PIPELINE_CONFIG),
+    )
+    extras["synth_docs_per_sec"] = round(n_pages / timings["dedup_synth_webpages"], 1)
+
+    # 3. simhash near-dup on documents (production kernel)
+    extras["simhash_pairs"] = timed(
+        "simhash_pairs_documents",
+        lambda: SH.simhash_near_dup_pairs(
+            docs, SimHashConfig(n_bits=48, bands=6, hamming_threshold=4)
+        ).count(),
+    )
+
+    # 4. ANN: SRP-bucketed top-k over embeddings (production UDF path)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    extras["ann_rows"] = timed(
+        "ann_srp_topk",
+        lambda: ANN.ann_topk(queries, emb, ORACLE_SRP, k=10).count(),
+    )
+
+    # 5. substring dedup on documents
+    extras["substring_pairs"] = timed(
+        "substring_dups_documents",
+        lambda: SX.substring_dup_pairs(docs, min_match=48, k_gram=16).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

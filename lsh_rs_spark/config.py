@@ -54,6 +54,13 @@ class DedupConfig:
     rows_per_band: int = 8            # r  (≡ reference n_projections K)
     seed: int = 42
     hash_family: str = "md5_64"
+    minhash_mode: str = "kperm"       # "kperm": K independent universal
+                                      # hashes (reference semantics,
+                                      # lsh-rs/src/hash.rs:243-303);
+                                      # "oph": one-permutation hashing with
+                                      # rotation densification — O(shingles)
+                                      # instead of O(shingles*K), the
+                                      # web-scale production path
     jaccard_threshold: float = 0.7    # exact-verify threshold for edges
     max_bucket_size: int = 2000       # skew guard: buckets larger than this
                                       # are dropped (counted, never silent)
@@ -69,6 +76,8 @@ class DedupConfig:
             raise ValueError(f"hash_family must be one of {HASH_FAMILIES}")
         if self.shingle_mode not in SHINGLE_MODES:
             raise ValueError(f"shingle_mode must be one of {SHINGLE_MODES}")
+        if self.minhash_mode not in ("kperm", "oph"):
+            raise ValueError("minhash_mode must be 'kperm' or 'oph'")
 
     @property
     def threshold_estimate(self) -> float:
@@ -99,7 +108,12 @@ ORACLE_CONFIG = DedupConfig(
 )
 
 #: Production default for the spark-submit pipeline (b=16, r=8 → t≈0.707).
-PIPELINE_CONFIG = DedupConfig()
+#: xxhash64 shingle ids (JVM-fast) + OPH signatures (O(shingles) kernel).
+PIPELINE_CONFIG = DedupConfig(hash_family="xxhash64", minhash_mode="oph")
+
+#: Reference-semantics production config (K independent hashes, exact parity
+#: with the oracle family at any scale) — slower kernel, identical recall laws.
+PIPELINE_CONFIG_KPERM = DedupConfig()
 
 
 @dataclass(frozen=True)

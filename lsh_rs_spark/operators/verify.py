@@ -34,7 +34,15 @@ def jaccard_edges(
     on doc keys plus one count agg on the pair key. Set sizes come from the
     signature table (one extra cheap agg), not a recount of the join.
     """
-    sh = shingle_table(sig)
+    # prune: only docs that occur in a candidate pair need their shingles
+    # shuffled — at web scale candidates are a small fraction of the corpus,
+    # so this semi-join shrinks the intersection join by ~the dup rate.
+    cand_docs = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_table(sig.join(cand_docs, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         pairs

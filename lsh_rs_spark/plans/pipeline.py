@@ -1,0 +1,161 @@
+"""End-to-end near-duplicate detection & clustering pipeline.
+
+The production `spark-submit --py-files` job (north rule): every stage
+checkpoints through the StageStore with lineage counters; a killed job
+resumes from the last committed stage; metrics (bucket stats, dropped
+hot buckets, edge counts, docs/sec) land in the run manifest.
+
+Stage graph::
+
+    docs ─ signatures ─ buckets ─┬─ bucket_stats (skew monitor)
+                                 ├─ dropped_buckets (cap counters)
+                                 └─ candidate_pairs ─ edges ─ components ─ keep_list
+
+Usage:
+    spark-submit --py-files lsh_rs_spark.zip -m lsh_rs_spark.plans.pipeline \
+        --input /path/docs.parquet --workdir /path/run1 [--resume]
+or programmatically: ``DedupPipeline(spark, cfg, workdir).run(docs)``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lsh_rs_spark.config import DedupConfig, PIPELINE_CONFIG
+from lsh_rs_spark.operators import components as CC
+from lsh_rs_spark.operators import lsh as L
+from lsh_rs_spark.operators import verify as V
+from lsh_rs_spark.sources.storage import StageStore
+
+STAGES = (
+    "signatures",
+    "buckets",
+    "bucket_stats",
+    "dropped_buckets",
+    "candidate_pairs",
+    "edges",
+    "components",
+    "keep_list",
+)
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, workdir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = StageStore(spark, workdir, config_fingerprint=cfg.to_json())
+        self.metrics: dict = {}
+
+    def _stage(self, name: str, build, parents: tuple[str, ...], resume: bool, **kw):
+        if resume and self.store.is_committed(name):
+            m = self.store.manifest(name)
+            if m.get("config") == self.cfg.to_json():
+                self.metrics[name] = {"rows": m["rows"], "resumed": True}
+                return self.store.read(name)
+            # config changed → stale checkpoint is not reusable
+        t0 = time.time()
+        df = build()
+        m = self.store.write(df, name, parents=parents, **kw)
+        m["seconds"] = round(time.time() - t0, 3)
+        self.metrics[name] = {"rows": m["rows"], "seconds": m["seconds"]}
+        return self.store.read(name)
+
+    def run(self, docs: DataFrame, resume: bool = True) -> DataFrame:
+        t_start = time.time()
+        cfg = self.cfg
+        n_docs = docs.count()
+
+        sig = self._stage(
+            "signatures",
+            lambda: L.signatures(docs, cfg),
+            (),
+            resume,
+        )
+        buckets = self._stage(
+            "buckets",
+            lambda: L.explode_bands(sig, cfg),
+            ("signatures",),
+            resume,
+            partition_by=("band_idx",),
+            sort_within=("band_key",),
+        )
+        self._stage(
+            "bucket_stats",
+            lambda: L.bucket_stats(buckets),
+            ("buckets",),
+            resume,
+        )
+        self._stage(
+            "dropped_buckets",
+            lambda: L.dropped_buckets(buckets, cfg),
+            ("buckets",),
+            resume,
+        )
+        pairs = self._stage(
+            "candidate_pairs",
+            lambda: L.candidate_pairs(buckets, cfg),
+            ("buckets",),
+            resume,
+        )
+        edges = self._stage(
+            "edges",
+            lambda: V.jaccard_edges(pairs, sig, cfg),
+            ("candidate_pairs", "signatures"),
+            resume,
+        )
+        comps = self._stage(
+            "components",
+            lambda: CC.connected_components(edges, cfg.cc_max_iters),
+            ("edges",),
+            resume,
+        )
+        keep = self._stage(
+            "keep_list",
+            lambda: CC.dedup_representatives(
+                CC.with_singletons(comps, sig, id_col="doc_id")
+            ),
+            ("components", "signatures"),
+            resume,
+        )
+
+        wall = time.time() - t_start
+        self.metrics["summary"] = {
+            "n_docs": n_docs,
+            "wall_seconds": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
+            "config": json.loads(cfg.to_json()),
+        }
+        with open(f"{self.store.root}/_RUN_METRICS.json", "w") as f:
+            json.dump(self.metrics, f, indent=1)
+        return keep
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="parquet of docs (needs doc_id,text or url,text)")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--config-json", default=None)
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("lsh-rs-spark-dedup").getOrCreate()
+    cfg = (
+        DedupConfig.from_json(open(args.config_json).read())
+        if args.config_json
+        else PIPELINE_CONFIG
+    )
+    docs = spark.read.parquet(args.input)
+    if "doc_id" not in docs.columns:
+        docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    keep = DedupPipeline(spark, cfg, args.workdir).run(docs, resume=args.resume)
+    n_drop = keep.where(~F.col("is_representative")).count()
+    print(json.dumps({"dropped_near_dups": n_drop}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

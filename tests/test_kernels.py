@@ -119,3 +119,36 @@ def test_simhash_similar_docs_low_hamming():
     d13 = bin(h1 ^ h3).count("1")
     assert d12 < d13
     assert d12 <= 10
+
+
+def test_oph_kernel_estimator_and_determinism():
+    from lsh_rs_spark.functions.minhash import oph_kernel
+
+    rng = np.random.default_rng(3)
+    common = rng.integers(0, 2**60, size=800)
+    A = np.concatenate([common, rng.integers(0, 2**60, size=200)])
+    B = np.concatenate([common, rng.integers(0, 2**60, size=200)])
+    offs = np.array([0, len(A)])
+    flat = np.concatenate([A, B])
+    k = 256
+    s1 = oph_kernel(offs, flat, k, 123456789, 98765)
+    s2 = oph_kernel(offs, flat, k, 123456789, 98765)
+    assert (s1 == s2).all()
+    true_j = 800 / 1200
+    est = (s1[0] == s1[1]).mean()
+    assert abs(est - true_j) < 4 * np.sqrt(true_j * (1 - true_j) / k)
+    # identical sets → identical signatures, all bins filled or densified
+    s3 = oph_kernel(np.array([0, len(A)]), np.concatenate([A, A]), k, 7, 9)
+    assert (s3[0] == s3[1]).all()
+    assert (s3[0] != P).all()
+
+
+def test_oph_empty_and_sparse_rows():
+    from lsh_rs_spark.functions.minhash import oph_kernel
+
+    # row0 empty, row1 single element (densification fills every bin)
+    out = oph_kernel(np.array([0, 0]), np.array([42]), 16, 3, 1)
+    assert (out[0] == P).all()
+    assert (out[1] != P).all()
+    # the single filled bin's value appears with rotation offsets
+    assert len(np.unique(out[1])) == 16

@@ -1,0 +1,178 @@
+"""Operator-level tests: query top-k path, multi-probe, suffix-array
+substring dedup, ANN, exact dedup, multimodal plumbing, streaming ingest."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_rs_spark.config import DedupConfig, SimHashConfig, SRPConfig
+from lsh_rs_spark.operators import ann as ANN
+from lsh_rs_spark.operators import dedup as DD
+from lsh_rs_spark.operators import lsh as L
+from lsh_rs_spark.operators import multiprobe as MP
+from lsh_rs_spark.operators import suffix as SX
+from lsh_rs_spark.operators import topk as TK
+from lsh_rs_spark.operators.simhash_ops import simhash_sketches
+
+CFG = DedupConfig(num_perm=16, bands=4, rows_per_band=4, jaccard_threshold=0.5)
+
+
+def test_knn_finds_planted_neighbor(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("delta", "DELTA")),  # near-dup of 1
+            (3, "totally different words " * 10),
+            (4, "other unrelated content here " * 10),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = L.signatures(docs, CFG).cache()
+    buckets = L.explode_bands(sig, CFG)
+    queries = sig.where(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("query_id"), "shingles", "minhash"
+    )
+    res = TK.knn(queries, sig, buckets, k=3, cfg=CFG).collect()
+    assert res, "query 1 must find its planted near-dup"
+    top = res[0]
+    assert (top.query_id, top.doc_id, top.rank) == (1, 2, 1)
+    assert top.jaccard > 0.5
+    assert top.n_collisions >= 1
+
+
+def test_multiprobe_flip_masks_stepwise_order():
+    masks = MP.flip_masks(4, budget=6)
+    # base probe + 4 single flips + first 2 double flips
+    assert masks[0] == 0
+    assert masks[1:5] == [1, 2, 4, 8]
+    assert len(masks) == 7
+    assert bin(masks[5]).count("1") == 2
+
+
+def test_multiprobe_expands_candidates(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common text here shared tokens everywhere {i}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    cfg = SimHashConfig(n_bits=32, bands=4)
+    sk = simhash_sketches(docs, cfg).cache()
+    q = sk.limit(3).select(F.col("doc_id").alias("query_id"), "simhash")
+    base = MP.multiprobe_candidates(q, sk, cfg, budget=0).count()
+    probed = MP.multiprobe_candidates(q, sk, cfg, budget=8).count()
+    assert probed >= base
+
+
+def test_substring_dedup_finds_planted_span(spark):
+    shared = "x" * 10 + "the quick brown fox jumps over the lazy dog repeatedly tonight" + "y" * 10
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix one"),
+            (2, "totally different start " + shared + " and end"),
+            (3, "no overlap with anything else at all whatsoever in here"),
+            (4, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = SX.substring_dup_pairs(docs, min_match=40, k_gram=16).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.src, p.dst) == (1, 2)
+    assert p.match_len >= len(shared) - 5
+
+
+def test_suffix_array_correctness():
+    data = b"banana"
+    sa = SX._suffix_array_bytes(data).tolist()
+    # suffixes sorted: a, ana, anana, banana, na, nana
+    assert sa == [5, 3, 1, 0, 4, 2]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = [(i, rng.normal(size=8).astype("float32").tolist()) for i in range(50)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    res = ANN.brute_force_topk(emb.where("vec_id < 3"), emb, k=5).collect()
+    X = np.array([v for _, v in vecs], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    for q in range(3):
+        order = [i for i in np.lexsort((np.arange(50), -sims[q])) if i != q][:5]
+        got = [r.neighbor_id for r in sorted(res, key=lambda r: r.rank) if r.query_id == q]
+        assert got == order
+
+
+def test_ann_topk_recall_vs_brute_force(spark):
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(40, 64))
+    # planted neighbors: 40 originals + perturbed copies
+    vecs = [(i, base[i].astype("float32").tolist()) for i in range(40)] + [
+        (100 + i, (base[i] + rng.normal(scale=0.1, size=64)).astype("float32").tolist())
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"]).cache()
+    cfg = SRPConfig(n_bits=16, bands=4, dim=64)
+    queries = emb.where("vec_id < 10")
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ANN.ann_topk(queries, emb, cfg, k=1).collect()
+        if r.rank == 1
+    }
+    # the perturbed twin (cos ~0.99) must be found for nearly all queries
+    hits = sum((q, q + 100) in got for q in range(10))
+    assert hits >= 8
+
+
+def test_exact_dup_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, None)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.rep_id, r.group_size)
+        for r in DD.exact_dup_groups(docs.where(F.col("text").isNotNull())).collect()
+    }
+    assert got == {1: (1, 3), 3: (1, 3), 4: (1, 3), 2: (2, 1)}
+
+
+def test_multimodal_feature_plumbing(spark):
+    from lsh_rs_spark.sources import multimodal as MM
+
+    payloads = [(f"/fake/{i}.bin", 100 + i, bytes([i % 256] * (100 + i))) for i in range(20)]
+    df = spark.createDataFrame(payloads, ["path", "n_bytes", "content"])
+    feats = MM.extract_features(df, decode="fake")
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r.feature) == MM.FEATURE_DIM for r in rows)
+    s = sum(rows[0].feature)
+    assert abs(s - 1.0) < 1e-5  # L1 normalized
+    # real decode path is an explicit stub
+    with pytest.raises(Exception):
+        MM.extract_features(df, decode="real").collect()
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    from lsh_rs_spark.sources.webpages import synth_webpages
+    from lsh_rs_spark.streaming import ingest as SI
+
+    pages = synth_webpages(spark, 100)
+    src = str(tmp_path / "stream_src")
+    pages.write.mode("overwrite").parquet(src)
+
+    stream = SI.read_page_stream(spark, src)
+    assert stream.isStreaming
+    buckets = SI.stream_buckets(stream, CFG)
+    out = str(tmp_path / "stream_out")
+    q = SI.start_bucket_sink(buckets, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out)
+    batch = L.explode_bands(
+        L.signatures(
+            spark.read.parquet(src).withColumn("doc_id", F.xxhash64("url")), CFG
+        ),
+        CFG,
+    )
+    a = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b  # same kernels, same broadcast params → identical buckets

@@ -1,0 +1,164 @@
+"""End-to-end pipeline tests: recall vs exact oracle, checkpoint/resume
+equivalence, CC vs union-find oracle, skew-guard counters, synthetic corpus
+determinism."""
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_rs_spark.config import DedupConfig
+from lsh_rs_spark.operators import components as CC
+from lsh_rs_spark.operators import lsh as L
+from lsh_rs_spark.operators import verify as V
+from lsh_rs_spark.plans.pipeline import DedupPipeline
+from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
+
+CFG = DedupConfig(num_perm=16, bands=4, rows_per_band=4, jaccard_threshold=0.7)
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _edges(spark, docs, cfg=CFG):
+    sig = L.signatures(docs, cfg)
+    return V.jaccard_edges(
+        L.candidate_pairs(L.explode_bands(sig, cfg), cfg), sig, cfg
+    )
+
+
+def test_recall_vs_exact_oracle(spark):
+    """North-rule metric: dup-pair recall >= 0.99 against brute-force
+    exact Jaccard (the reference's cdist-oracle pattern)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {(r.src, r.dst) for r in _edges(spark, docs).collect()}
+    oracle = duckdb.sql(
+        f"""
+        WITH docs AS (SELECT doc_id, STRING_SPLIT(text,' ') w
+                      FROM '{SF_DIR}/documents.parquet' WHERE text IS NOT NULL),
+        sh0 AS (SELECT doc_id, CASE WHEN LEN(w)>=3 THEN
+                  LIST_TRANSFORM(RANGE(1,LEN(w)-1), i->ARRAY_TO_STRING(w[i:i+2],' '))
+                ELSE [ARRAY_TO_STRING(w,' ')] END sh FROM docs),
+        sh AS (SELECT doc_id, s FROM (SELECT doc_id, UNNEST(sh) s FROM sh0) GROUP BY ALL),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        i AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) c FROM sh a
+              JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+        SELECT i, j FROM i JOIN sz za ON za.doc_id=i JOIN sz zb ON zb.doc_id=j
+        WHERE c/(za.n+zb.n-c) >= 0.7
+        """
+    ).fetchall()
+    want = set(map(tuple, oracle))
+    assert want, "oracle should find planted dups"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99, (recall, want - got)
+    # no false positives possible: edges are exact-verified
+    assert got <= want
+
+
+def test_connected_components_vs_union_find(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 31)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in CC.connected_components(df, max_iters=10).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_long_chain_converges(spark):
+    n = 40  # path graph: worst case for hash-min propagation
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    got = CC.connected_components(df, max_iters=n + 5)
+    assert got.select(F.countDistinct("cluster_id")).first()[0] == 1
+    assert got.agg(F.min("cluster_id")).first()[0] == 0
+
+
+def test_pipeline_checkpoint_resume(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    wd = str(tmp_path / "run")
+    p1 = DedupPipeline(spark, CFG, wd)
+    keep_cold = p1.run(docs, resume=False).orderBy("doc_id").collect()
+    assert p1.store.is_committed("edges")
+    m = p1.store.manifest("edges")
+    assert m["rows"] >= 1 and m["parents"] == ["candidate_pairs", "signatures"]
+
+    # simulate crash after 'edges': drop downstream stages, resume
+    for st in ("components", "keep_list"):
+        p1.store.drop(st)
+    p2 = DedupPipeline(spark, CFG, wd)
+    keep_resumed = p2.run(docs, resume=True).orderBy("doc_id").collect()
+    assert keep_resumed == keep_cold
+    assert p2.metrics["signatures"].get("resumed") is True
+    assert os.path.exists(f"{wd}/_RUN_METRICS.json")
+    metrics = json.load(open(f"{wd}/_RUN_METRICS.json"))
+    assert metrics["summary"]["n_docs"] == 200
+
+    # config change invalidates checkpoints (no silent reuse)
+    cfg2 = DedupConfig(
+        num_perm=16, bands=4, rows_per_band=4, jaccard_threshold=0.8
+    )
+    p3 = DedupPipeline(spark, cfg2, wd)
+    p3.run(docs, resume=True)
+    assert "resumed" not in p3.metrics["edges"]
+
+
+def test_skew_guard_drops_hot_bucket(spark):
+    # 50 identical docs → one bucket of 50 per band; cap=10 must drop it
+    docs = spark.createDataFrame(
+        [(i, "same text repeated for everyone here today") for i in range(50)]
+        + [(100, "another unique document entirely different words"),
+           (101, "another unique document entirely different words")],
+        ["doc_id", "text"],
+    )
+    cfg = DedupConfig(
+        num_perm=16, bands=4, rows_per_band=4, max_bucket_size=10
+    )
+    buckets = L.explode_bands(L.signatures(docs, cfg), cfg)
+    pairs = L.candidate_pairs(buckets, cfg)
+    pair_set = {(r.src, r.dst) for r in pairs.collect()}
+    assert (100, 101) in pair_set  # small bucket survives
+    assert all(s >= 100 for s, _ in pair_set)  # hot bucket fully dropped
+    dropped = L.dropped_buckets(buckets, cfg).collect()
+    assert len(dropped) == cfg.bands  # counted, not silent
+    assert all(r.bucket_size == 50 for r in dropped)
+
+
+def test_synth_webpages_deterministic_across_parallelism(spark):
+    a = with_doc_ids(synth_webpages(spark, 500, partitions=2))
+    b = with_doc_ids(synth_webpages(spark, 500, partitions=16))
+    ra = sorted((r.url, r.text, r.lang) for r in a.collect())
+    rb = sorted((r.url, r.text, r.lang) for r in b.collect())
+    assert ra == rb
+    # planted dups discoverable
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4, jaccard_threshold=0.6)
+    e = _edges(spark, a, cfg).count()
+    assert e > 10
+
+
+def test_pipeline_text_never_rewritten(spark, tmp_path):
+    """North rule: byte-identical text per url across stage outputs — the
+    pipeline never writes a modified text column anywhere."""
+    pages = with_doc_ids(synth_webpages(spark, 300))
+    wd = str(tmp_path / "run2")
+    DedupPipeline(spark, CFG, wd).run(pages, resume=False)
+    for stage in ("signatures", "buckets", "edges", "keep_list"):
+        cols = spark.read.parquet(f"{wd}/{stage}").columns
+        assert "text" not in cols  # derived columns only — text stays in docs

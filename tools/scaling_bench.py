@@ -1,0 +1,125 @@
+"""Cluster-size scaling evidence (north rule: efficiency >= 0.8 from N→4N).
+
+No real cluster exists in this sandbox, so per driver instruction the same
+job runs at two parallelism levels — local[8] and local[32] — on the SAME
+materialized parquet input, in separate JVMs.  Reports docs/sec at both and
+
+    efficiency = (docs_per_sec@32 / docs_per_sec@8) / (32 / 8)
+
+Writes tools/scaling_results.json and prints one JSON line.
+
+Usage: python tools/scaling_bench.py [n_pages] [low_cores] [high_cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from lsh_rs_spark.config import PIPELINE_CONFIG as cfg
+from lsh_rs_spark.operators import lsh as L, verify as V, components as CC
+
+cores = {cores}
+spark = (SparkSession.builder.master(f"local[{{cores}}]")
+    .config("spark.sql.shuffle.partitions", str(cores))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+    .config("spark.driver.memory", "12g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet({input!r})
+n = docs.count()
+t0 = time.time()
+sig = L.signatures(docs, cfg).persist()
+buckets = L.explode_bands(sig, cfg)
+pairs = L.candidate_pairs(buckets, cfg)
+edges = V.jaccard_edges(pairs, sig, cfg)
+comps = CC.connected_components(edges, cfg.cc_max_iters)
+keep = CC.dedup_representatives(CC.with_singletons(comps, sig))
+removed = keep.where(~F.col("is_representative")).count()
+wall = time.time() - t0
+print("RESULT " + json.dumps({{"cores": cores, "n_docs": n, "wall": wall,
+    "docs_per_sec": n / wall, "removed": removed}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, input_path: str) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cores=cores, input=input_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        check=True,
+    ).stdout
+    for line in out.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line in output:\n{out[-2000:]}")
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    # materialize identical input once (deterministic corpus)
+    input_dir = os.path.join(tempfile.gettempdir(), f"scaling_corpus_{n_pages}")
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        gen = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
+spark = (SparkSession.builder.master("local[32]")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+with_doc_ids(synth_webpages(spark, {n}, partitions=64)) \
+    .write.mode("overwrite").parquet({out!r})
+spark.stop()
+""".format(repo=REPO, n=n_pages, out=input_dir)
+        subprocess.run([sys.executable, "-c", gen], check=True, timeout=900)
+
+    results = {}
+    for cores in (low, high):
+        r = run_at(cores, input_dir)
+        results[str(cores)] = r
+        print(f"local[{cores}]: {r['docs_per_sec']:.1f} docs/sec "
+              f"({r['wall']:.1f}s, removed={r['removed']})", file=sys.stderr)
+    assert results[str(low)]["removed"] == results[str(high)]["removed"], \
+        "parallelism changed the result — determinism violation"
+
+    speedup = results[str(high)]["docs_per_sec"] / results[str(low)]["docs_per_sec"]
+    eff = speedup / (high / low)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low_cores": low,
+        "high_cores": high,
+        "speedup": round(speedup, 3),
+        "pass_threshold": 0.8,
+        "passed": eff >= 0.8,
+        "runs": results,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(os.path.join(REPO, "tools", "scaling_results.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
