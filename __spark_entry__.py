@@ -40,7 +40,7 @@ SRP = ORACLE_SRP
 
 ANN_QUERY_MOD = 100
 ANN_K = 5
-KNN_QUERY_MOD = 50
+KNN_QUERY_MOD = 7
 KNN_K = 5
 NEAR_DUP_COS = 0.45
 SRP_MAX_HAMMING = 2

@@ -103,3 +103,22 @@ def band_expr(sketch: Column | str, band_idx: int, bits_per_band: int) -> Column
     c = F.col(sketch) if isinstance(sketch, str) else sketch
     mask = (1 << bits_per_band) - 1
     return F.shiftright(c, band_idx * bits_per_band).bitwiseAND(F.lit(mask))
+
+
+def sketch_bands(
+    df, sketch_col: str, id_col: str, bands: int, bits_per_band: int, id_alias: str
+):
+    """Long band table (band_idx, band_key, <id_alias>) from a fixed-width
+    sketch — one scan via array-of-structs explode (not b unioned scans)."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band_idx"),
+                band_expr(sketch_col, bi, bits_per_band).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_alias), F.explode(arr).alias("b")).select(
+        "b.band_idx", "b.band_key", id_alias
+    )

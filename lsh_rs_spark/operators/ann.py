@@ -66,32 +66,27 @@ def srp_sketches(
     return emb.select(F.col(id_col).alias("vec_id"), sk.alias("srp"))
 
 
-def srp_candidate_pairs(sketches: DataFrame, cfg: SRPConfig) -> DataFrame:
-    """LSH banding over SRP sketches → distinct (src, dst) candidates."""
-    bands = [
-        sketches.select(
-            F.lit(bi).alias("band_idx"),
-            band_expr("srp", bi, cfg.bits_per_band).alias("band_key"),
-            F.col("vec_id"),
-        )
-        for bi in range(cfg.bands)
-    ]
-    long = bands[0]
-    for b in bands[1:]:
-        long = long.unionByName(b)
-    l, r = long.alias("l"), long.alias("r")
-    return (
-        l.join(r, ["band_idx", "band_key"])
-        .where(F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(F.col("l.vec_id").alias("src"), F.col("r.vec_id").alias("dst"))
-        .distinct()
+def srp_candidate_pairs(
+    sketches: DataFrame, cfg: SRPConfig, max_bucket_size: int = 10_000
+) -> DataFrame:
+    """LSH banding over SRP sketches → distinct (src, dst) candidates.
+
+    One scan (struct-array explode) + one shuffle (pairs_from_buckets)."""
+    from lsh_rs_spark.functions.simhash import sketch_bands
+    from lsh_rs_spark.operators.lsh import pairs_from_buckets
+
+    bands = sketch_bands(
+        sketches, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "vec_id"
+    )
+    return pairs_from_buckets(
+        bands, ["band_idx", "band_key"], max_bucket_size, id_col="vec_id"
     )
 
 
 def srp_hamming_pairs(sketches: DataFrame, cfg: SRPConfig, max_hamming: int) -> DataFrame:
     """Candidates + exact sketch-Hamming filter (cheap pre-verify)."""
     pairs = srp_candidate_pairs(sketches, cfg)
-    sk = F.broadcast(sketches)
+    sk = sketches  # corpus-sized: no broadcast hint
     return (
         pairs
         .join(sk.select(F.col("vec_id").alias("src"), F.col("srp").alias("h_src")), "src")
@@ -111,30 +106,12 @@ def ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Scale-path ANN: SRP bucket probe → exact cosine re-rank of candidates."""
+    from lsh_rs_spark.functions.simhash import sketch_bands
+
     corpus_sk = srp_sketches(corpus, cfg, id_col, vec_col)
     query_sk = srp_sketches(queries, cfg, id_col, vec_col)
-    q_bands = [
-        query_sk.select(
-            F.lit(bi).alias("band_idx"),
-            band_expr("srp", bi, cfg.bits_per_band).alias("band_key"),
-            F.col("vec_id").alias("query_id"),
-        )
-        for bi in range(cfg.bands)
-    ]
-    qb = q_bands[0]
-    for b in q_bands[1:]:
-        qb = qb.unionByName(b)
-    c_bands = [
-        corpus_sk.select(
-            F.lit(bi).alias("band_idx"),
-            band_expr("srp", bi, cfg.bits_per_band).alias("band_key"),
-            F.col("vec_id").alias("neighbor_id"),
-        )
-        for bi in range(cfg.bands)
-    ]
-    cb = c_bands[0]
-    for b in c_bands[1:]:
-        cb = cb.unionByName(b)
+    qb = sketch_bands(query_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "query_id")
+    cb = sketch_bands(corpus_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "neighbor_id")
     cand = (
         F.broadcast(qb).join(cb, ["band_idx", "band_key"])
         .where(F.col("query_id") != F.col("neighbor_id"))

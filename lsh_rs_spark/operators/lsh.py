@@ -113,13 +113,57 @@ def dropped_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Within-bucket self-join → distinct (src, dst), src < dst.
+    """Within-bucket pairing → distinct (src, dst), src < dst.
 
-    Equi-join on (band_idx, band_key): Catalyst picks shuffle-hash/SMJ; AQE
-    splits residual skew.  The cap above bounds per-bucket fanout to
-    max_bucket_size² — at the default 2000 that is ≤ 4M rows per hot key,
-    within one executor's task budget.
+    Single shuffle on (band_idx, band_key) with map-side partial aggregation
+    (collect_list), then in-row pair explosion — replaces the self-join
+    formulation, which shuffled the bucket table twice (window count + join
+    sides).  Per-bucket fanout is bounded by the cap (m² pairs materialize
+    transiently inside one task row; cap=2000 → ≤ 2M structs ≈ 32 MB).
+    Skew note: a hot band_key still lands on one reducer, but its work is
+    bounded by the cap; dropped hot buckets are counted via
+    ``dropped_buckets`` (never silent).
     """
+    return pairs_from_buckets(
+        buckets, ["band_idx", "band_key"], cfg.max_bucket_size, id_col="doc_id"
+    )
+
+
+def pairs_from_buckets(
+    long_df: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generic within-bucket pairing: groupBy(bucket key) + in-row pair
+    explosion → distinct canonical (src, dst).  Shared by the MinHash,
+    SimHash and SRP paths."""
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                "ds",
+                lambda x, i: F.transform(
+                    F.slice("ds", i + 2, F.size("ds")),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("src"), F.greatest(x, y).alias("dst")
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        long_df.groupBy(*key_cols)
+        .agg(F.collect_list(id_col).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket_size))
+        .select(pair_expr.alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+
+
+def candidate_pairs_join(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Self-join formulation (J2, `lsh-rs/src/table/mem.rs:69-74` semantics) —
+    kept for cross-checking; identical output to candidate_pairs."""
     b = capped_buckets(buckets, cfg)
     l, r_ = b.alias("l"), b.alias("r")
     return (

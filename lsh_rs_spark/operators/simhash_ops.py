@@ -67,22 +67,20 @@ def simhash_sketches(
     )
 
 
-def simhash_candidate_pairs(sketches: DataFrame, cfg: SimHashConfig) -> DataFrame:
-    """Hamming-LSH banding: pairs agreeing on >= 1 band."""
-    bands = None
-    for bi in range(cfg.bands):
-        b = sketches.select(
-            F.lit(bi).alias("band_idx"),
-            band_expr("simhash", bi, cfg.bits_per_band).alias("band_key"),
-            F.col("doc_id"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    l, r = bands.alias("l"), bands.alias("r")
-    return (
-        l.join(r, ["band_idx", "band_key"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst"))
-        .distinct()
+def simhash_candidate_pairs(
+    sketches: DataFrame, cfg: SimHashConfig, max_bucket_size: int = 10_000
+) -> DataFrame:
+    """Hamming-LSH banding: pairs agreeing on >= 1 band.
+
+    One scan (struct-array explode) + one shuffle (pairs_from_buckets)."""
+    from lsh_rs_spark.functions.simhash import sketch_bands
+    from lsh_rs_spark.operators.lsh import pairs_from_buckets
+
+    bands = sketch_bands(
+        sketches, "simhash", "doc_id", cfg.bands, cfg.bits_per_band, "doc_id"
+    )
+    return pairs_from_buckets(
+        bands, ["band_idx", "band_key"], max_bucket_size, id_col="doc_id"
     )
 
 
@@ -92,7 +90,7 @@ def simhash_near_dup_pairs(
     """Full SimHash near-dup path: sketch → band pairs → Hamming filter."""
     sk = simhash_sketches(docs, cfg, id_col, use_udf=use_udf)
     pairs = simhash_candidate_pairs(sk, cfg)
-    skb = F.broadcast(sk)
+    skb = sk  # corpus-sized: no broadcast hint, AQE decides
     return (
         pairs
         .join(skb.select(F.col("doc_id").alias("src"), F.col("simhash").alias("h_src")), "src")

@@ -67,9 +67,10 @@ def hamming_edges(
 ) -> DataFrame:
     """(src,dst) pairs × (doc_id, simhash) → pairs with Hamming <= threshold.
 
-    The sketch table is tiny relative to docs (16 bytes/row) — broadcast it.
+    The sketch table is narrow (16 bytes/row) but corpus-sized — no
+    broadcast hint; AQE picks broadcast only when it actually fits.
     """
-    sk = F.broadcast(sketches.select("doc_id", "simhash"))
+    sk = sketches.select("doc_id", "simhash")
     return (
         pairs
         .join(sk.select(F.col("doc_id").alias("src"), F.col("simhash").alias("h_src")), "src")
