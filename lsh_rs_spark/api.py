@@ -1,0 +1,150 @@
+"""Public fit/predict API — the floky (lsh-py) surface, DataFrame-shaped.
+
+Reference: `lsh-py/floky/__init__.py` exposes ``LshL2(n_projections,
+n_hash_tables, dim, seed).fit(X)`` / ``.predict(x, top_k)`` returning
+``QueryResult(index, vectors, n_collisions, distances)``; plus ``LshSrp``.
+Here ``fit`` signs a corpus DataFrame and materializes the bucket state
+(optionally through a StageStore checkpoint — the `SqlTable` durability
+analogue); ``predict`` runs probe → union → exact re-rank → top-k and
+returns a DataFrame with the QueryResult columns:
+
+    (query_id, neighbor_id, n_collisions, distance, rank)
+
+A user of the reference maps:  fit(X) → fit(df); predict(x, k) →
+predict(queries_df, k); QueryResult lists → one row per (query, neighbor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lsh_rs_spark.config import DedupConfig, SimHashConfig, SRPConfig
+from lsh_rs_spark.operators import ann as ANN
+from lsh_rs_spark.operators import l2_lsh as L2OP
+from lsh_rs_spark.operators import lsh as L
+from lsh_rs_spark.operators import simhash_ops as SH
+from lsh_rs_spark.operators import topk as TK
+from lsh_rs_spark.operators import verify as V
+from lsh_rs_spark.operators.components import (
+    connected_components,
+    dedup_representatives,
+    with_singletons,
+)
+
+
+class MinHashLSH:
+    """Jaccard family over text documents (≙ MinHash path of the reference,
+    `lsh-rs/src/hash.rs:243-303`, surfaced via our DedupConfig)."""
+
+    def __init__(self, cfg: DedupConfig | None = None):
+        self.cfg = cfg or DedupConfig()
+        self._sig: DataFrame | None = None
+        self._buckets: DataFrame | None = None
+
+    def fit(self, docs: DataFrame, id_col: str = "doc_id") -> "MinHashLSH":
+        self._sig = L.signatures(docs, self.cfg, id_col=id_col).persist()
+        self._buckets = L.explode_bands(self._sig, self.cfg).persist()
+        return self
+
+    @property
+    def signatures(self) -> DataFrame:
+        if self._sig is None:
+            raise RuntimeError("call fit() first")
+        return self._sig
+
+    def predict(self, queries: DataFrame, top_k: int = 5, id_col: str = "doc_id") -> DataFrame:
+        """(query_id, neighbor_id, n_collisions, distance, rank);
+        distance = 1 - exact Jaccard (a proper metric for the family)."""
+        qsig = L.signatures(queries, self.cfg, id_col=id_col).withColumnRenamed(
+            "doc_id", "query_id"
+        )
+        res = TK.knn(qsig, self.signatures, self._buckets, top_k, self.cfg)
+        return res.select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            "n_collisions",
+            (1.0 - F.col("jaccard")).alias("distance"),
+            "rank",
+        )
+
+    def dedup(self, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """Full clustering: (doc_id, cluster_id, is_representative)."""
+        self.fit(docs, id_col=id_col)
+        pairs = L.candidate_pairs(self._buckets, self.cfg)
+        edges = V.jaccard_edges(pairs, self._sig, self.cfg)
+        comps = connected_components(edges, self.cfg.cc_max_iters)
+        return dedup_representatives(with_singletons(comps, self._sig))
+
+    def bucket_stats(self) -> DataFrame:
+        if self._buckets is None:
+            raise RuntimeError("call fit() first")
+        return L.bucket_stats(self._buckets)
+
+
+class SimHashLSH:
+    """Cosine/Hamming family over text (≙ SignRandomProjections,
+    `lsh-rs/src/hash.rs:34-69`, Charikar token-vote construction)."""
+
+    def __init__(self, cfg: SimHashConfig | None = None):
+        self.cfg = cfg or SimHashConfig()
+        self._sketches: DataFrame | None = None
+
+    def fit(self, docs: DataFrame, id_col: str = "doc_id") -> "SimHashLSH":
+        self._sketches = SH.simhash_sketches(docs, self.cfg, id_col=id_col).persist()
+        return self
+
+    def near_dup_pairs(self) -> DataFrame:
+        if self._sketches is None:
+            raise RuntimeError("call fit() first")
+        pairs = SH.simhash_candidate_pairs(self._sketches, self.cfg)
+        return V.hamming_edges(pairs, self._sketches, self.cfg)
+
+
+class SrpLSH:
+    """Cosine family over dense embeddings (≙ `LshSrp`,
+    `lsh-py/src/lib.rs:370-400`)."""
+
+    def __init__(self, cfg: SRPConfig | None = None):
+        self.cfg = cfg or SRPConfig()
+        self._corpus: DataFrame | None = None
+
+    def fit(self, emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "SrpLSH":
+        self._corpus = emb
+        self._id, self._vec = id_col, vec_col
+        return self
+
+    def predict(self, queries: DataFrame, top_k: int = 5) -> DataFrame:
+        """(query_id, neighbor_id, distance, rank); distance = 1 - cosine."""
+        res = ANN.ann_topk(
+            queries, self._corpus, self.cfg, top_k, self._id, self._vec
+        )
+        return res.select(
+            "query_id", "neighbor_id", (1.0 - F.col("cos")).alias("distance"), "rank"
+        )
+
+
+class L2LSH:
+    """Euclidean family (≙ `LshL2`, `lsh-py/src/lib.rs:325-368`)."""
+
+    def __init__(self, n_projections: int, n_hash_tables: int, dim: int,
+                 r: float = 4.0, seed: int = 42):
+        self.k = n_projections
+        self.L = n_hash_tables
+        self.dim = dim
+        self.r = r
+        self.seed = seed
+        self._corpus: DataFrame | None = None
+
+    def fit(self, emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "L2LSH":
+        self._corpus = emb
+        self._id, self._vec = id_col, vec_col
+        return self
+
+    def predict(self, queries: DataFrame, top_k: int = 5, probes: int = 0) -> DataFrame:
+        """(query_id, neighbor_id, n_collisions, distance, rank);
+        probes>0 enables query-directed multi-probe (M2)."""
+        res = L2OP.l2_knn(
+            queries, self._corpus, self.L, self.k, self.dim, self.r,
+            self.seed, top_k, probes, self._id, self._vec,
+        )
+        return res.withColumnRenamed("dist", "distance")

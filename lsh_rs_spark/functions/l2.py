@@ -1,0 +1,161 @@
+"""p-stable L2 LSH (E2LSH) family: h(v) = floor((A·v + b) / r).
+
+Reference: `L2::hash_vec` `lsh-rs/src/hash.rs:73-135` (A ~ N(0,1) (K,dim),
+b ~ U(0, r), one hasher per table seeded from a root seed) and the
+query-directed multi-probe machinery `lsh-rs/src/multi_probe.rs:301-378`
+(Lv et al., VLDB'07: perturb the query's hash by ±1 in the coordinates
+whose boundary distance xi is smallest).
+
+Spark shape: one pandas UDF signs a batch against ALL L tables in a single
+(n, dim) @ (dim, L*K) BLAS matmul; the output is a long-format band table
+(table_idx, hash_key, id) — the same `(band_idx, band_key)` bucket contract
+as the MinHash path, so pairing/probing reuse pairs_from_buckets and the
+bucket equi-join.
+
+Multi-probe (M2): `distance_to_bound` gives xi(-1) = f - h*r (distance back
+to the lower bucket wall) and xi(+1) = r - xi(-1); probes enumerate
+perturbation sets in increasing total xi² score with the paper's min-heap
+(shift/expand), all inside the UDF per query batch (pure NumPy/heapq).
+Invariant (reference golden `multi_probe.rs:447-452`): xi(-1)+xi(+1) == r.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from lsh_rs_spark.config import SRPConfig  # noqa: F401 (kept for parity docs)
+
+
+def l2_params(n_tables: int, k: int, dim: int, r: float, seed: int):
+    """(A, b): A (L, K, dim) standard normal, b (L, K) uniform[0, r)."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n_tables, k, dim))
+    b = rng.uniform(0.0, r, size=(n_tables, k))
+    return A, b
+
+
+def l2_hash_batch(X: np.ndarray, A: np.ndarray, b: np.ndarray, r: float) -> np.ndarray:
+    """(n, dim) → (n, L, K) int64 hashes: floor((A·v + b)/r)."""
+    L, K, dim = A.shape
+    proj = X @ A.reshape(L * K, dim).T  # (n, L*K)
+    h = np.floor((proj + b.reshape(1, L * K)) / r)
+    return h.astype(np.int64).reshape(-1, L, K)
+
+
+def xi_distances(X: np.ndarray, A: np.ndarray, b: np.ndarray, r: float):
+    """Boundary distances per (row, table, k): xi_min = f - h*r, xi_plus = r - xi_min."""
+    L, K, dim = A.shape
+    f = X @ A.reshape(L * K, dim).T + b.reshape(1, L * K)  # (n, L*K)
+    h = np.floor(f / r)
+    xi_min = f - h * r
+    return xi_min.reshape(-1, L, K), (r - xi_min).reshape(-1, L, K)
+
+
+def query_directed_probes(
+    xi_min_row: np.ndarray, xi_plus_row: np.ndarray, budget: int
+) -> list[list[tuple[int, int]]]:
+    """Lv et al. Algorithm 1 for ONE (table) row: enumerate perturbation
+    sets [(k_idx, ±1), ...] in increasing sum-of-xi² score.
+
+    Mirrors `PerturbState` (score/shift/expand, `multi_probe.rs:181-299`):
+    sort the 2K boundary distances, heap-expand subsets with the shift
+    (replace last element by next) and expand (append next) moves.
+    """
+    K = xi_min_row.shape[0]
+    # candidate list: (xi, k_idx, delta) sorted ascending
+    cands = sorted(
+        [(float(xi_min_row[i]) ** 2, i, -1) for i in range(K)]
+        + [(float(xi_plus_row[i]) ** 2, i, +1) for i in range(K)]
+    )
+    n = len(cands)
+    out: list[list[tuple[int, int]]] = []
+    # heap entries: (score, last_index, selection tuple of cand indices)
+    start = (cands[0][0], 0, (0,))
+    heap = [start]
+    seen = set()
+    while heap and len(out) < budget:
+        score, last, sel = heapq.heappop(heap)
+        if sel in seen:
+            continue
+        seen.add(sel)
+        # a valid probe must not perturb the same k twice
+        ks = [cands[i][1] for i in sel]
+        if len(set(ks)) == len(ks):
+            out.append([(cands[i][1], cands[i][2]) for i in sel])
+        if last + 1 < n:
+            shift = sel[:-1] + (last + 1,)
+            heapq.heappush(
+                heap,
+                (score - cands[last][0] + cands[last + 1][0], last + 1, shift),
+            )
+            expand = sel + (last + 1,)
+            heapq.heappush(
+                heap, (score + cands[last + 1][0], last + 1, expand)
+            )
+    return out
+
+
+def _key(h_row: np.ndarray) -> str:
+    return "-".join(str(int(x)) for x in h_row)
+
+
+def make_l2_bands_udf(
+    n_tables: int, k: int, dim: int, r: float, seed: int, probes: int = 0
+):
+    """pandas UDF: embedding → ARRAY<STRING> of L*(1+probes) 'table:hash' keys.
+
+    probes=0 → store path (one key per table, `hash_vec_put` semantics);
+    probes>0 → query path with query-directed probing (M2).
+    """
+    A, b = l2_params(n_tables, k, dim, r, seed)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def l2_bands(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        H = l2_hash_batch(X, A, b, r)  # (n, L, K)
+        out = []
+        if probes == 0:
+            for row in H:
+                out.append([f"{t}:{_key(row[t])}" for t in range(n_tables)])
+        else:
+            xi_min, xi_plus = xi_distances(X, A, b, r)
+            for i in range(X.shape[0]):
+                keys = []
+                for t in range(n_tables):
+                    keys.append(f"{t}:{_key(H[i, t])}")
+                    for pert in query_directed_probes(
+                        xi_min[i, t], xi_plus[i, t], probes
+                    ):
+                        hh = H[i, t].copy()
+                        for k_idx, delta in pert:
+                            hh[k_idx] += delta
+                        keys.append(f"{t}:{_key(hh)}")
+                out.append(list(dict.fromkeys(keys)))
+        return pd.Series(out)
+
+    return l2_bands
+
+
+def l2_band_table(
+    emb: DataFrame,
+    n_tables: int,
+    k: int,
+    dim: int,
+    r: float,
+    seed: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 0,
+    id_alias: str = "vec_id",
+) -> DataFrame:
+    """(band_key STRING, <id_alias>) long bucket table for the L2 family."""
+    udf = make_l2_bands_udf(n_tables, k, dim, r, seed, probes)
+    return (
+        emb.select(F.col(id_col).alias(id_alias), udf(vec_col).alias("keys"))
+        .select(id_alias, F.explode("keys").alias("band_key"))
+    )

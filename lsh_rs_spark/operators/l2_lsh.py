@@ -1,0 +1,87 @@
+"""L2 (E2LSH) nearest-neighbor path over dense embeddings.
+
+The reference's `LshL2` / `LshMem::l2(r)` surface
+(`lsh-py/src/lib.rs:325-368`, `lsh-rs/src/lsh/lsh.rs:102-143`): store
+vectors into L tables keyed by floor((A·v+b)/r), probe with the query's
+keys (optionally query-directed multi-probe), exact-L2 re-rank, top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lsh_rs_spark.functions.l2 import l2_band_table
+from lsh_rs_spark.functions.vectors import l2_dist
+from lsh_rs_spark.operators.lsh import pairs_from_buckets
+
+
+def l2_buckets(
+    emb: DataFrame, n_tables: int, k: int, dim: int, r: float, seed: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(band_key, vec_id) bucket table — the store path (S2/S10 analogue)."""
+    return l2_band_table(emb, n_tables, k, dim, r, seed, id_col, vec_col)
+
+
+def l2_candidate_pairs(
+    emb: DataFrame, n_tables: int, k: int, dim: int, r: float, seed: int,
+    max_bucket_size: int = 10_000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    b = l2_buckets(emb, n_tables, k, dim, r, seed, id_col, vec_col)
+    return pairs_from_buckets(b, ["band_key"], max_bucket_size, id_col="vec_id")
+
+
+def l2_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_tables: int,
+    k_hash: int,
+    dim: int,
+    r: float,
+    seed: int,
+    top_k: int,
+    probes: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """predict(): probe → bucket union (n_collisions) → exact L2 → top-k.
+
+    Returns (query_id, neighbor_id, n_collisions, dist, rank) — the
+    reference QueryResult columns (`lsh-py/floky/__init__.py:9-11`).
+    """
+    corpus_b = l2_band_table(
+        corpus, n_tables, k_hash, dim, r, seed, id_col, vec_col, probes=0,
+        id_alias="neighbor_id",
+    )
+    query_b = F.broadcast(
+        l2_band_table(
+            queries, n_tables, k_hash, dim, r, seed, id_col, vec_col,
+            probes=probes, id_alias="query_id",
+        )
+    )
+    cand = (
+        query_b.join(corpus_b, "band_key")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count("*").alias("n_collisions"))
+    )
+    scored = (
+        cand.join(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            "query_id",
+        )
+        .join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .withColumn("dist", l2_dist("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "n_collisions", "dist", "rank")
+    )

@@ -89,22 +89,45 @@ def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
     sa = _suffix_array_bytes(blob)
     out: dict[tuple[int, int], int] = {}
     cap = 1 << 20
-    # adjacent-suffix scan; separators (\x00) sort first and break runs
-    for x in range(len(sa) - 1):
-        i, j = int(sa[x]), int(sa[x + 1])
-        oi, oj = int(owner_of[i]), int(owner_of[j])
-        if oi == oj:
+
+    def emit(oi: int, oj: int, l: int) -> None:
+        a, b = int(ids[oi]), int(ids[oj])
+        if a == b:
+            return
+        if a > b:
+            a, b = b, a
+        if out.get((a, b), 0) < l:
+            out[(a, b)] = l
+
+    # adjacent LCP array, then maximal intervals with lcp >= min_match:
+    # ALL owners inside an interval pairwise share a run >= the interval
+    # minimum (adjacent-only scanning misses non-adjacent pairs when a
+    # third copy interleaves between them in suffix order).
+    lcp = [
+        _lcp_len(blob, int(sa[x]), int(sa[x + 1]), cap)
+        for x in range(len(sa) - 1)
+    ]
+    x = 0
+    n_l = len(lcp)
+    while x < n_l:
+        if lcp[x] < min_match:
+            x += 1
             continue
-        l = _lcp_len(blob, i, j, cap)
-        if l >= min_match:
-            a, b = int(ids[oi]), int(ids[oj])
-            if a == b:
-                continue
-            if a > b:
-                a, b = b, a
-            key = (a, b)
-            if out.get(key, 0) < l:
-                out[key] = l
+        start = x
+        interval_min = lcp[x]
+        owners = {int(owner_of[int(sa[x])]), int(owner_of[int(sa[x + 1])])}
+        while x + 1 < n_l and lcp[x + 1] >= min_match:
+            x += 1
+            interval_min = min(interval_min, lcp[x])
+            owners.add(int(owner_of[int(sa[x + 1])]))
+        # exact value for adjacent pairs, conservative interval-min for rest
+        for y in range(start, x + 1):
+            emit(int(owner_of[int(sa[y])]), int(owner_of[int(sa[y + 1])]), lcp[y])
+        ol = sorted(owners)
+        for ii in range(len(ol)):
+            for jj in range(ii + 1, len(ol)):
+                emit(ol[ii], ol[jj], interval_min)
+        x += 1
     if not out:
         return pd.DataFrame({"src": [], "dst": [], "match_len": []}).astype("int64")
     return pd.DataFrame(

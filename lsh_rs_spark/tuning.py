@@ -1,0 +1,120 @@
+"""Parameter grid search — the reference's optimize_* helpers, Spark-shaped.
+
+Reference: `optimize_srp_params` / `optimize_l2_params`
+(`lsh-rs/src/stats.rs:104-163`) grid-search K with L derived from
+``estimate_l(delta, p1, k)``, build an LSH per combo on sample vectors and
+report bucket-length stats + timings (`OptRes`, `stats.rs:47-57`).
+
+Here each combo signs a *sample DataFrame* and aggregates the bucket-size
+distribution (the `describe` analogue) — the same signal the reference's
+cost model uses (`examples/reverse-img-search/src/prepare.rs:67-89`:
+total = hash_time + search_time * N_total/n_sample), plus the collision
+stats that feed hot-bucket salting decisions.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from lsh_rs_spark.functions.l2 import l2_band_table
+from lsh_rs_spark.functions.simhash import sketch_bands
+from lsh_rs_spark.operators.ann import srp_sketches
+from lsh_rs_spark.stats import collision_prob_cosine, collision_prob_l2, estimate_l
+from lsh_rs_spark.config import SRPConfig
+
+
+@dataclass
+class OptResult:
+    """≙ reference OptRes (`lsh-rs/src/stats.rs:47-57`)."""
+
+    k: int
+    l: int
+    hash_seconds: float
+    n_buckets: int
+    min_len: int
+    max_len: int
+    avg_len: float
+    extras: dict = field(default_factory=dict)
+
+    def cost_estimate(self, n_total: int, n_sample: int) -> float:
+        """hash_time + avg bucket work scaled to the full corpus."""
+        return self.hash_seconds * (n_total / max(1, n_sample)) + self.avg_len
+
+
+def _bucket_stats(bands: DataFrame) -> tuple[int, int, int, float]:
+    row = (
+        bands.groupBy("band_key").count()
+        .agg(
+            F.count("*").alias("n"),
+            F.min("count").alias("mn"),
+            F.max("count").alias("mx"),
+            F.avg("count").alias("av"),
+        )
+        .first()
+    )
+    return int(row["n"] or 0), int(row["mn"] or 0), int(row["mx"] or 0), float(row["av"] or 0.0)
+
+
+def optimize_l2_params(
+    sample: DataFrame,
+    dim: int,
+    ks: list[int],
+    delta: float = 0.1,
+    r: float = 4.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[OptResult]:
+    p1 = collision_prob_l2(r, 1.0)
+    out = []
+    for k in ks:
+        l = max(1, estimate_l(delta, p1, k))
+        t0 = time.time()
+        bands = l2_band_table(sample, l, k, dim, r, seed, id_col, vec_col).persist()
+        n, mn, mx, av = _bucket_stats(bands)
+        bands.unpersist()
+        out.append(OptResult(k, l, round(time.time() - t0, 3), n, mn, mx, av,
+                             extras={"p1": p1, "r": r}))
+    return out
+
+
+def optimize_srp_params(
+    sample: DataFrame,
+    dim: int,
+    ks: list[int],
+    cosine_sim: float = 0.8,
+    delta: float = 0.1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[OptResult]:
+    p1 = collision_prob_cosine(cosine_sim)
+    out = []
+    for k in ks:
+        l = max(1, estimate_l(delta, p1, k))
+        n_bits = k * l
+        if n_bits > 63:
+            # sketch width bound: split across several 63-bit sketches
+            # would be needed; cap to the largest feasible L for this k
+            l = max(1, 63 // k)
+            n_bits = k * l
+        t0 = time.time()
+        cfg = SRPConfig(n_bits=n_bits, bands=l, dim=dim, seed=seed)
+        sk = srp_sketches(sample, cfg, id_col, vec_col, use_udf=True)
+        bands = sketch_bands(sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "vec_id")
+        bands = bands.withColumn(
+            "band_key", F.concat_ws(":", "band_idx", "band_key")
+        ).persist()
+        n, mn, mx, av = _bucket_stats(bands)
+        bands.unpersist()
+        out.append(OptResult(k, l, round(time.time() - t0, 3), n, mn, mx, av,
+                             extras={"p1": p1, "requested_l": max(1, estimate_l(delta, p1, k))}))
+    return out
+
+
+def best_params(results: list[OptResult], n_total: int, n_sample: int) -> OptResult:
+    """argmin of the reference's cost model over the grid."""
+    return min(results, key=lambda x: x.cost_estimate(n_total, n_sample))

@@ -1,0 +1,137 @@
+"""L2 (E2LSH) family + public fit/predict API tests — mirrors the
+reference's own e2e strategy (`lsh-py/test/test_.py:11-54`): seeded
+random-normal data, exact-distance oracle, R-rescaling contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_rs_spark.api import L2LSH, MinHashLSH, SimHashLSH, SrpLSH
+from lsh_rs_spark.config import DedupConfig, SimHashConfig, SRPConfig
+from lsh_rs_spark.functions.l2 import (
+    l2_hash_batch,
+    l2_params,
+    query_directed_probes,
+    xi_distances,
+)
+
+CFG = DedupConfig(num_perm=16, bands=4, rows_per_band=4, jaccard_threshold=0.5)
+
+
+def test_l2_hash_near_vectors_collide_far_differ():
+    # reference test shape: hash.rs:307-318 (close vecs same hash, far differ)
+    A, b = l2_params(1, 8, 4, r=4.0, seed=1)
+    v1 = np.array([[1.0, 2.0, 3.0, 1.0]])
+    v2 = v1 + 0.01
+    far = v1 * 50.0
+    h1 = l2_hash_batch(v1, A, b, 4.0)
+    h2 = l2_hash_batch(v2, A, b, 4.0)
+    h3 = l2_hash_batch(far, A, b, 4.0)
+    assert (h1 == h2).all()
+    assert (h1 != h3).any()
+
+
+def test_xi_invariant():
+    # reference golden invariant (multi_probe.rs:447-452): xi_min + xi_plus = r
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(5, 16))
+    A, b = l2_params(3, 4, 16, r=4.0, seed=7)
+    xi_min, xi_plus = xi_distances(X, A, b, 4.0)
+    assert np.allclose(xi_min + xi_plus, 4.0)
+    assert (xi_min >= 0).all() and (xi_min <= 4.0).all()
+
+
+def test_query_directed_probes_ordered_and_valid():
+    rng = np.random.default_rng(1)
+    xi_min = rng.uniform(0.1, 3.9, size=6)
+    xi_plus = 4.0 - xi_min
+    probes = query_directed_probes(xi_min, xi_plus, budget=10)
+    assert len(probes) == 10
+    scores = []
+    for p in probes:
+        ks = [k for k, _ in p]
+        assert len(set(ks)) == len(ks)  # never perturb same k twice
+        s = sum(
+            (xi_min[k] if d == -1 else xi_plus[k]) ** 2 for k, d in p
+        )
+        scores.append(s)
+    assert scores == sorted(scores)  # emitted in increasing score order
+
+
+@pytest.fixture(scope="module")
+def rand_emb(spark):
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(60, 16)).astype(np.float64)
+    # R-rescaling contract (floky fit: data scaled so NN distance < r)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(60)] + [
+        (100 + i, (base[i] + rng.normal(scale=0.02, size=16)).tolist())
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def test_l2lsh_predict_finds_planted_nn(spark, rand_emb):
+    model = L2LSH(n_projections=6, n_hash_tables=8, dim=16, r=1.0, seed=3).fit(rand_emb)
+    queries = rand_emb.where("vec_id < 10")
+    res = model.predict(queries, top_k=1).collect()
+    top = {r.query_id: r.neighbor_id for r in res if r.rank == 1}
+    hits = sum(top.get(q) == q + 100 for q in range(10))
+    assert hits >= 9
+    for r in res:
+        assert r.distance >= 0 and r.n_collisions >= 1
+
+
+def test_l2lsh_multiprobe_improves_collisions(spark, rand_emb):
+    model = L2LSH(n_projections=10, n_hash_tables=2, dim=16, r=0.5, seed=3).fit(rand_emb)
+    queries = rand_emb.where("vec_id < 10")
+    base = model.predict(queries, top_k=5, probes=0)
+    probed = model.predict(queries, top_k=5, probes=6)
+    assert probed.count() >= base.count()
+
+
+def test_minhash_api_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(60))),
+            (2, " ".join("XX" if i == 30 else f"w{i}" for i in range(60))),
+            (3, "something else entirely different from the others here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    model = MinHashLSH(CFG).fit(docs)
+    res = model.predict(docs.where("doc_id = 1"), top_k=2).collect()
+    assert res[0].neighbor_id == 2 and res[0].rank == 1
+    assert 0.0 <= res[0].distance < 0.5
+    keep = model.dedup(docs)
+    reps = {r.doc_id: r.is_representative for r in keep.collect()}
+    assert reps == {1: True, 2: False, 3: True}
+    stats = model.bucket_stats().collect()
+    assert len(stats) == CFG.bands
+
+
+def test_simhash_and_srp_api(spark, rand_emb):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j " * 10), (2, "a b c d e f g h i j " * 10)],
+        ["doc_id", "text"],
+    )
+    pairs = SimHashLSH(SimHashConfig()).fit(docs).near_dup_pairs().collect()
+    assert [(p.src, p.dst, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+    srp = SrpLSH(SRPConfig(n_bits=16, bands=4, dim=16)).fit(rand_emb)
+    res = srp.predict(rand_emb.where("vec_id = 0"), top_k=1).collect()
+    assert res and res[0].neighbor_id == 100 and res[0].distance < 0.01
+
+
+def test_tuning_grid_search(spark, rand_emb):
+    from lsh_rs_spark.tuning import best_params, optimize_l2_params, optimize_srp_params
+
+    l2_res = optimize_l2_params(rand_emb, dim=16, ks=[4, 8], delta=0.2, r=1.0)
+    assert [x.k for x in l2_res] == [4, 8]
+    for x in l2_res:
+        assert x.l >= 1 and x.n_buckets > 0 and x.max_len >= x.min_len
+
+    srp_res = optimize_srp_params(rand_emb, dim=16, ks=[4, 8], cosine_sim=0.9)
+    assert all(x.k * x.l <= 63 for x in srp_res)
+    pick = best_params(l2_res, n_total=10_000, n_sample=70)
+    assert pick in l2_res

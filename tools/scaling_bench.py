@@ -68,13 +68,31 @@ spark.stop()
 
 
 def run_at(cores: int, input_path: str) -> dict:
+    """Run the job confined to exactly `cores` physical CPUs.
+
+    taskset bounds the WHOLE process tree (JVM GC/shuffle threads and the
+    Python UDF workers included) — otherwise a local[8] run still burns all
+    32 physical cores via GC + multi-threaded BLAS and the comparison
+    understates true cluster-size scaling.  BLAS threads are pinned to 1 so
+    parallelism comes only from Spark task slots, as on a real executor.
+    """
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, input=input_path)
+    env = dict(os.environ)
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        env[var] = "1"
+    cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        ["taskset", "-c", cpu_list, sys.executable, "-c", code],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
         check=True,
+        env=env,
     ).stdout
     for line in out.splitlines():
         if line.startswith("RESULT "):
