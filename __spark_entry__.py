@@ -198,6 +198,16 @@ def q_srp_pairs(spark, sf_dir):
     return ANN.srp_hamming_pairs(sk, SRP, SRP_MAX_HAMMING)
 
 
+def q_l2_buckets(spark, sf_dir):
+    from lsh_rs_spark.functions.l2 import l2_hash_col
+
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.explode(l2_hash_col("embedding", 2, 4, 64, 4.0, 42)).alias("band_key"),
+    )
+
+
 def q_substring_dups(spark, sf_dir):
     # rows-only check (suffix arrays are not reasonably SQL-expressible)
     return SX.substring_dup_pairs(_docs(spark, sf_dir), min_match=48, k_gram=16)
@@ -242,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "srp_sketches": q_srp_sketches,
         "srp_pairs": q_srp_pairs,
+        "l2_buckets": q_l2_buckets,
         "substring_dups": q_substring_dups,
         "multiprobe_knn_candidates": q_multiprobe_knn_candidates,
     }
@@ -270,5 +281,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": O.q_embedding_near_dup(NEAR_DUP_COS),
         "srp_sketches": O.q_srp_sketches(SRP),
         "srp_pairs": O.q_srp_pairs(SRP, SRP_MAX_HAMMING),
+        "l2_buckets": O.q_l2_buckets(),
         # substring_dups / multiprobe_knn_candidates: rows-only (non-SQL ops)
     }

@@ -54,16 +54,23 @@ SYNTH_PAGES = max(2_000, int(500_000 * SF))  # sf0.1 → 50k pages (+12% dups)
 
 def dedup_pipeline_count(docs, cfg) -> int:
     """signatures → bands → capped pairs → exact-verify edges → CC → reps."""
+    # persist the reused intermediates — the checkpointed pipeline writes
+    # them to parquet between stages; the in-memory variant must cache them
+    # or pairs/edges recompute several times through verify + symmetrize
     sig = L.signatures(docs, cfg).persist()
+    pairs = edges = None
     try:
         buckets = L.explode_bands(sig, cfg)
-        pairs = L.candidate_pairs(buckets, cfg)
-        edges = V.jaccard_edges(pairs, sig, cfg)
+        pairs = L.candidate_pairs(buckets, cfg).persist()
+        edges = V.jaccard_edges(pairs, sig, cfg).persist()
         comps = CC.connected_components(edges, cfg.cc_max_iters)
         keep = CC.dedup_representatives(CC.with_singletons(comps, sig))
         return keep.where(~F.col("is_representative")).count()
     finally:
         sig.unpersist()
+        for df in (pairs, edges):
+            if df is not None:
+                df.unpersist()
 
 
 def main() -> None:

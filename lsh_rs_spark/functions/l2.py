@@ -159,3 +159,54 @@ def l2_band_table(
         emb.select(F.col(id_col).alias(id_alias), udf(vec_col).alias("keys"))
         .select(id_alias, F.explode("keys").alias("band_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-parity Column/SQL variants (sequential double folds, like the SRP
+# path in functions/vectors.py — bit-identical between Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+def l2_hash_col(vec, n_tables: int, k: int, dim: int, r: float, seed: int):
+    """ARRAY<STRING> of 'table:hash-key' strings via Column expressions."""
+    A, b = l2_params(n_tables, k, dim, r, seed)
+    keys = []
+    for t in range(n_tables):
+        parts = []
+        for kk in range(k):
+            coeffs = F.array(*[F.lit(float(c)) for c in A[t, kk]])
+            terms = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                _l2_term_fn(coeffs, vec),
+            )
+            proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+            parts.append(
+                F.floor((proj + F.lit(float(b[t, kk]))) / F.lit(r)).cast("long").cast("string")
+            )
+        keys.append(F.concat_ws("-", F.lit(str(t)), *parts))
+    return F.array(*keys)
+
+
+def _l2_term_fn(coeffs, vec):
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return lambda i: (
+        F.element_at(coeffs, i + 1) * F.element_at(v, i + 1).cast("double")
+    )
+
+
+def l2_hash_sql(vec_expr: str, n_tables: int, k: int, dim: int, r: float, seed: int) -> list[str]:
+    """DuckDB twins: one SQL fragment per table producing the same key."""
+    A, b = l2_params(n_tables, k, dim, r, seed)
+    out = []
+    for t in range(n_tables):
+        parts = []
+        for kk in range(k):
+            coeffs = ", ".join(repr(float(c)) for c in A[t, kk])
+            proj = (
+                f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1), "
+                f"i -> ([{coeffs}])[i] * CAST(({vec_expr})[i] AS DOUBLE)))"
+            )
+            parts.append(
+                f"CAST(CAST(FLOOR(({proj} + {float(b[t, kk])!r}) / {float(r)!r}) AS BIGINT) AS VARCHAR)"
+            )
+        out.append(f"CONCAT_WS('-', '{t}', " + ", ".join(parts) + ")")
+    return out

@@ -410,3 +410,14 @@ SELECT src, dst, CAST(BIT_COUNT(xor(h_src, h_dst)) AS INTEGER) AS hamming
 FROM pairs
 WHERE BIT_COUNT(xor(h_src, h_dst)) <= {max_hamming}
 """.strip()
+
+
+def q_l2_buckets(n_tables: int = 2, k: int = 4, dim: int = 64,
+                 r: float = 4.0, seed: int = 42) -> str:
+    from lsh_rs_spark.functions.l2 import l2_hash_sql
+
+    frags = l2_hash_sql("embedding", n_tables, k, dim, r, seed)
+    selects = " UNION ALL ".join(
+        f"SELECT vec_id, {frag} AS band_key FROM embeddings" for frag in frags
+    )
+    return f"SELECT vec_id, band_key FROM ({selects})"

@@ -176,3 +176,27 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     a = sorted(tuple(r) for r in streamed.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert a == b  # same kernels, same broadcast params → identical buckets
+
+
+def test_vectors_io_roundtrip(spark, tmp_path):
+    from lsh_rs_spark.sources import vectors_io as VIO
+
+    csv = tmp_path / "vecs.csv"
+    csv.write_text("".join(f"{i}.0,{i+1}.5,{i+2}.25\n" for i in range(10)))
+    df = VIO.read_vector_csv(spark, str(csv), dim=3)
+    rows = df.collect()
+    assert len(rows) == 10 and all(len(r.embedding) == 3 for r in rows)
+    assert len({r.vec_id for r in rows}) == 10  # stable distinct ids
+
+    base = spark.createDataFrame(
+        [(i, f"k{i % 3}", i) for i in range(9)], ["doc_id", "band_key", "x"]
+    )
+    ids = spark.createDataFrame([(0,), (1,)], ["doc_id"])
+    left = VIO.delete_vectors(base, ids)
+    assert left.count() == 7
+    repl = spark.createDataFrame([(0, "k9", 99)], ["doc_id", "band_key", "x"])
+    up = VIO.upsert_vectors(base, repl)
+    got = {(r.doc_id, r.band_key) for r in up.collect()}
+    assert (0, "k9") in got and (0, "k0") not in got and len(got) == 9
+    rng = VIO.select_by_id_range(base, 2, 4, "doc_id")
+    assert rng.count() == 3

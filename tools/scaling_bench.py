@@ -35,6 +35,8 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+    .config("spark.sql.files.maxPartitionBytes", "4m")
+    .config("spark.sql.files.openCostInBytes", "512k")
     .config("spark.driver.memory", "12g")
     .config("spark.ui.enabled", "false")
     .getOrCreate())
@@ -55,8 +57,8 @@ wsig.unpersist()
 t0 = time.time()
 sig = L.signatures(docs, cfg).persist()
 buckets = L.explode_bands(sig, cfg)
-pairs = L.candidate_pairs(buckets, cfg)
-edges = V.jaccard_edges(pairs, sig, cfg)
+pairs = L.candidate_pairs(buckets, cfg).persist()
+edges = V.jaccard_edges(pairs, sig, cfg).persist()
 comps = CC.connected_components(edges, cfg.cc_max_iters)
 keep = CC.dedup_representatives(CC.with_singletons(comps, sig))
 removed = keep.where(~F.col("is_representative")).count()
