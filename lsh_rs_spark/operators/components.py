@@ -22,11 +22,16 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
-    """(src,dst) → both directions, deduped."""
+    """(src,dst) → both directions.
+
+    Input edges are canonical (src < dst, distinct), so the union with the
+    reversed direction cannot create duplicates — no distinct() shuffle.
+    Duplicate tolerance is free anyway: the hash-min aggregation below is
+    idempotent under repeated edges."""
     e = edges.select("src", "dst")
     return e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
 
 
 def connected_components(
@@ -42,20 +47,15 @@ def connected_components(
         .persist()
     )
     for _ in range(max_iters):
-        # candidate labels flowing across edges
-        prop = (
-            sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        # hash-min step in one join + one aggregation (2 shuffles/iter):
+        # labels flow across edges, union the node's own label, take min
+        flowed = sym.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
+            F.col("dst").alias("doc_id"), "cluster_id"
         )
         new_labels = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
+            flowed.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
