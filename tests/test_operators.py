@@ -200,3 +200,19 @@ def test_vectors_io_roundtrip(spark, tmp_path):
     assert (0, "k9") in got and (0, "k0") not in got and len(got) == 9
     rng = VIO.select_by_id_range(base, 2, 4, "doc_id")
     assert rng.count() == 3
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from lsh_rs_spark.operators import ivf as IVF
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=(60, 32))
+    vecs = [(i, base[i].astype("float32").tolist()) for i in range(60)] + [
+        (100 + i, (base[i] + rng.normal(scale=0.05, size=32)).astype("float32").tolist())
+        for i in range(15)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"]).cache()
+    res = IVF.ivf_topk(emb.where("vec_id < 10"), emb, n_lists=8, nprobe=3, k=1)
+    top = {r.query_id: r.neighbor_id for r in res.collect() if r.rank == 1}
+    hits = sum(top.get(q) == q + 100 for q in range(10))
+    assert hits >= 8  # perturbed twin found despite coarse quantization
