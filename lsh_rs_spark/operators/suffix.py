@@ -75,20 +75,62 @@ def _lcp_len(data: bytes, i: int, j: int, cap: int) -> int:
     return m
 
 
+def _adjacent_lcps(blob: bytes, sa: np.ndarray) -> np.ndarray:
+    """LCP of adjacent suffix-array entries via hash binary-lifting.
+
+    ~18 vectorized passes instead of a per-byte Python loop; equality is
+    checked with the rolling-hash family (collision prob ~2^-64 per probe)."""
+    n = len(blob)
+    c = np.frombuffer(blob, dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pows = np.empty(n, dtype=np.uint64)
+        binv_pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _BINV, dtype=np.uint64), out=binv_pows[1:])
+        pre = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(c * binv_pows, out=pre[1:])
+        bpow = np.empty(n + 1, dtype=np.uint64)
+        bpow[0] = 1
+        np.cumprod(np.full(n, _B, dtype=np.uint64), out=bpow[1:])
+
+        i = sa[:-1].astype(np.int64)
+        j = sa[1:].astype(np.int64)
+        lcp = np.zeros(i.shape[0], dtype=np.int64)
+        max_b = max(0, n).bit_length()
+        for b in range(max_b, -1, -1):
+            step = 1 << b
+            ii = i + lcp
+            jj = j + lcp
+            ok = (ii + step <= n) & (jj + step <= n)
+            hi = (pre[np.minimum(ii + step, n)] - pre[np.minimum(ii, n)]) * bpow[
+                np.minimum(ii, n)
+            ]
+            hj = (pre[np.minimum(jj + step, n)] - pre[np.minimum(jj, n)]) * bpow[
+                np.minimum(jj, n)
+            ]
+            ext = ok & (hi == hj)
+            lcp[ext] += step
+    return lcp
+
+
 def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
     texts = [t.encode("utf-8", "ignore") for t in pdf["snippet"]]
     ids = pdf["doc_id"].to_numpy()
-    blob = b"\x00".join(texts) + b"\x00"
-    starts = np.zeros(len(texts), dtype=np.int64)
-    pos = 0
+    # unique per-doc separators: an LCP can never extend across a boundary
+    # (a shared "...tail\x00head..." with a single shared separator byte
+    # could otherwise inflate match_len across documents)
+    parts = []
+    for idx, t in enumerate(texts):
+        parts.append(t)
+        parts.append(b"\x00" + idx.to_bytes(4, "little") + b"\x00")
+    blob = b"".join(parts)
     owner_of = np.zeros(len(blob), dtype=np.int64)
-    for i, t in enumerate(texts):
-        starts[i] = pos
-        owner_of[pos : pos + len(t) + 1] = i
-        pos += len(t) + 1
+    pos = 0
+    for idx, t in enumerate(texts):
+        owner_of[pos : pos + len(t) + 6] = idx
+        pos += len(t) + 6
     sa = _suffix_array_bytes(blob)
     out: dict[tuple[int, int], int] = {}
-    cap = 1 << 20
 
     def emit(oi: int, oj: int, l: int) -> None:
         a, b = int(ids[oi]), int(ids[oj])
@@ -103,10 +145,7 @@ def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
     # ALL owners inside an interval pairwise share a run >= the interval
     # minimum (adjacent-only scanning misses non-adjacent pairs when a
     # third copy interleaves between them in suffix order).
-    lcp = [
-        _lcp_len(blob, int(sa[x]), int(sa[x + 1]), cap)
-        for x in range(len(sa) - 1)
-    ]
+    lcp = _adjacent_lcps(blob, sa)
     x = 0
     n_l = len(lcp)
     while x < n_l:
@@ -187,6 +226,242 @@ def winnowing_anchors(
     )
 
 
+# ---------------------------------------------------------------------------
+# O(n) NumPy winnowing (production anchor path)
+# ---------------------------------------------------------------------------
+
+_B = np.uint64(1099511628211)  # FNV64 prime (odd → invertible mod 2^64)
+_BINV = np.uint64(pow(1099511628211, -1, 2 ** 64))
+
+
+def _rolling_gram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Content-defined 64-bit hash of every k-byte gram in O(n).
+
+    Rabin-Karp with wraparound uint64 arithmetic: prefix sums of
+    c[i]*B^{-i}, window hash = (pre[i+k]-pre[i]) * B^i — identical hash for
+    identical byte windows at any offset."""
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = c.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pows = np.empty(n, dtype=np.uint64)
+        binv_pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _BINV, dtype=np.uint64), out=binv_pows[1:])
+        pre = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(c * binv_pows, out=pre[1:])
+        bpows = np.empty(n - k + 1, dtype=np.uint64)
+        bpows[0] = 1
+        if n - k > 0:
+            np.cumprod(np.full(n - k, _B, dtype=np.uint64), out=bpows[1:])
+        return (pre[k:] - pre[: n - k + 1]) * bpows
+
+
+def _sliding_ext(a: np.ndarray, w: int, op) -> np.ndarray:
+    """O(n) sliding min/max via the block prefix/suffix trick."""
+    n = a.shape[0]
+    if n == 0 or w > n:
+        return np.empty(0, dtype=a.dtype)
+    pad = np.iinfo(a.dtype).max if op is np.minimum else np.iinfo(a.dtype).min
+    nb = -(-n // w)
+    padded = np.full(nb * w, pad, dtype=a.dtype)
+    padded[:n] = a
+    blocks = padded.reshape(nb, w)
+    pref = op.accumulate(blocks, axis=1).ravel()
+    suff = op.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return op(suff[: n - w + 1], pref[w - 1 : n])
+
+
+def _winnow_positions(h: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing selection: gram j is an anchor iff h[j] is the minimum of
+    some window of w consecutive grams.  Equivalent test: h[j] equals the
+    max over containing windows of the per-window minima."""
+    ng = h.shape[0]
+    if ng == 0:
+        return np.empty(0, dtype=np.int64)
+    if ng <= w:
+        return np.array([int(np.argmin(h))], dtype=np.int64)
+    M = _sliding_ext(h, w, np.minimum)  # per-window minima, len ng-w+1
+    pad = np.iinfo(np.uint64).min
+    Mpad = np.concatenate(
+        [np.full(w - 1, pad, np.uint64), M, np.full(w - 1, pad, np.uint64)]
+    )
+    T = _sliding_ext(Mpad, w, np.maximum)[:ng]
+    return np.nonzero(h == T)[0].astype(np.int64)
+
+
+def winnowing_positions_kernel(
+    docs: DataFrame,
+    min_match: int,
+    k_gram: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Light anchor stream (doc_id, anchor, pos) — no snippet bytes.
+
+    mapInPandas O(n) kernel per document; `pos` is the BYTE offset of the
+    selected gram.  The winnowing rendezvous guarantee — any shared run
+    >= min_match yields a shared anchor — is hash-family independent."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import StructField, StructType
+
+    w = min_match - k_gram + 1
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("anchor", LongType()),
+            StructField("pos", LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "anchor": [], "pos": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < min_match:
+                    continue
+                data = text.encode("utf-8", "ignore")
+                h = _rolling_gram_hashes(data, k_gram)
+                pos = _winnow_positions(h, w)
+                vals = h[pos].astype(np.int64)  # uint64 → signed wrap
+                seen = set()
+                for p, a in zip(pos.tolist(), vals.tolist()):
+                    if a in seen:
+                        continue
+                    seen.add(a)
+                    out["doc_id"].append(int(doc_id))
+                    out["anchor"].append(a)
+                    out["pos"].append(p)
+            yield pd.DataFrame(out)
+
+    d = docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= min_match)
+    )
+    return d.mapInPandas(fn, schema=schema)
+
+
+def winnowing_anchors_kernel(
+    docs: DataFrame,
+    min_match: int,
+    k_gram: int,
+    snippet_radius: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Single-phase production anchor generator: (doc_id, anchor, snippet).
+
+    O(n) NumPy winnowing per doc, snippet cut in the same pass.  For
+    corpora where exact-substring duplication is sparse, prefer
+    winnowing_anchors_two_phase (ships snippet bytes only for colliding
+    anchors at the cost of running the kernel against a persisted light
+    stream + one extra join)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    w = min_match - k_gram + 1
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("anchor", LongType()),
+            StructField("snippet", StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "anchor": [], "snippet": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < min_match:
+                    continue
+                data = text.encode("utf-8", "ignore")
+                h = _rolling_gram_hashes(data, k_gram)
+                pos = _winnow_positions(h, w)
+                vals = h[pos].astype(np.int64)
+                seen = set()
+                for p, a in zip(pos.tolist(), vals.tolist()):
+                    if a in seen:
+                        continue
+                    seen.add(a)
+                    lo = max(0, p - snippet_radius)
+                    out["doc_id"].append(int(doc_id))
+                    out["anchor"].append(a)
+                    out["snippet"].append(
+                        data[lo : lo + 2 * snippet_radius].decode("utf-8", "ignore")
+                    )
+            yield pd.DataFrame(out)
+
+    d = docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= min_match)
+    )
+    return d.mapInPandas(fn, schema=schema)
+
+
+def winnowing_anchors_two_phase(
+    docs: DataFrame,
+    min_match: int,
+    k_gram: int,
+    snippet_radius: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group_docs: int = 200,
+) -> DataFrame:
+    """Two-phase anchor generator: (doc_id, anchor, snippet).
+
+    Phase 1 ships only 24-byte (doc_id, anchor, pos) rows (persisted —
+    referenced twice); phase 2 cuts snippets ONLY for anchors colliding in
+    [2, max_group_docs] documents — at sparse web dup rates the snippet
+    shuffle shrinks ~10-50× versus a snippet per anchor."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    light = winnowing_positions_kernel(
+        docs, min_match, k_gram, id_col, text_col
+    ).persist()
+    hot = (
+        light.groupBy("anchor")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_group_docs))
+        .select("anchor")
+    )
+    sel = light.join(hot, "anchor")
+    per_doc = sel.groupBy("doc_id").agg(
+        F.collect_list(F.struct("anchor", "pos")).alias("aps")
+    )
+    joined = per_doc.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("anchor", LongType()),
+            StructField("snippet", StringType()),
+        ]
+    )
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "anchor": [], "snippet": []}
+            for doc_id, aps, text in zip(pdf["doc_id"], pdf["aps"], pdf["text"]):
+                data = text.encode("utf-8", "ignore")
+                for row in aps:
+                    a, p = int(row["anchor"]), int(row["pos"])
+                    lo = max(0, p - snippet_radius)
+                    out["doc_id"].append(int(doc_id))
+                    out["anchor"].append(a)
+                    out["snippet"].append(
+                        data[lo : lo + 2 * snippet_radius].decode("utf-8", "ignore")
+                    )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(cut, schema=schema)
+
+
 def substring_dup_pairs(
     docs: DataFrame,
     min_match: int = 64,
@@ -195,6 +470,7 @@ def substring_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_group_docs: int = 200,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """(src, dst, match_len): pairs sharing a verbatim run >= min_match.
 
@@ -205,9 +481,14 @@ def substring_dup_pairs(
     """
     if k_gram >= min_match:
         raise ValueError("k_gram must be < min_match")
-    anchors = winnowing_anchors(
-        docs, min_match, k_gram, snippet_radius, id_col, text_col
-    )
+    if use_kernel:
+        anchors = winnowing_anchors_kernel(
+            docs, min_match, k_gram, snippet_radius, id_col, text_col
+        )
+    else:
+        anchors = winnowing_anchors(
+            docs, min_match, k_gram, snippet_radius, id_col, text_col
+        )
     grouped = (
         anchors.groupBy("anchor")
         .agg(F.collect_list(F.struct("doc_id", "snippet")).alias("members"))

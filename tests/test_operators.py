@@ -216,3 +216,30 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     top = {r.query_id: r.neighbor_id for r in res.collect() if r.rank == 1}
     hits = sum(top.get(q) == q + 100 for q in range(10))
     assert hits >= 8  # perturbed twin found despite coarse quantization
+
+
+def test_substring_two_phase_matches_single_phase(spark):
+    from lsh_rs_spark.operators.suffix import (
+        _find_pairs_in_group,
+        winnowing_anchors_kernel,
+        winnowing_anchors_two_phase,
+    )
+
+    shared = "q" * 5 + "one shared verbatim span of text that is long enough to matter here" + "z" * 5
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa start " + shared + " end one"),
+            (2, "bbb other " + shared + " end two"),
+            (3, "ccc unrelated totally different content in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    a1 = winnowing_anchors_kernel(docs, 40, 16, 128)
+    a2 = winnowing_anchors_two_phase(docs, 40, 16, 128)
+    # two-phase keeps only colliding anchors; each shared anchor must agree
+    s1 = {(r.doc_id, r.anchor): r.snippet for r in a1.collect()}
+    s2 = {(r.doc_id, r.anchor): r.snippet for r in a2.collect()}
+    assert set(s2) <= set(s1)
+    assert s2  # the planted span collides
+    for k, v in s2.items():
+        assert s1[k] == v
