@@ -32,6 +32,7 @@ from lsh_rs_spark.operators import verify as V
 from lsh_rs_spark.sources.storage import StageStore
 
 STAGES = (
+    "exact_groups",
     "signatures",
     "buckets",
     "bucket_stats",
@@ -64,15 +65,39 @@ class DedupPipeline:
         self.metrics[name] = {"rows": m["rows"], "seconds": m["seconds"]}
         return self.store.read(name)
 
-    def run(self, docs: DataFrame, resume: bool = True) -> DataFrame:
+    def run(
+        self, docs: DataFrame, resume: bool = True, exact_prededup: bool = True
+    ) -> DataFrame:
+        """exact_prededup: collapse byte-identical texts to one representative
+        BEFORE LSH (one cheap hash-agg).  Boilerplate/exact-twin hot buckets
+        disappear from the LSH stage — the most effective skew lever at web
+        scale — and the exact groups re-enter the cluster graph as
+        jaccard=1.0 edges, so final cluster assignments are identical."""
         t_start = time.time()
         cfg = self.cfg
         n_docs = docs.count()
 
+        exact = self._stage(
+            "exact_groups",
+            lambda: docs.where(F.col("text").isNotNull()).groupBy("text").agg(
+                F.min("doc_id").alias("rep_id"),
+                F.collect_list("doc_id").alias("members"),
+            ).select("rep_id", F.explode("members").alias("doc_id"))
+            .where(F.col("doc_id") != F.col("rep_id")),
+            (),
+            resume,
+        )
+        if exact_prededup:
+            lsh_docs = docs.join(
+                exact.select(F.col("doc_id")), "doc_id", "left_anti"
+            )
+        else:
+            lsh_docs = docs
+
         sig = self._stage(
             "signatures",
-            lambda: L.signatures(docs, cfg),
-            (),
+            lambda: L.signatures(lsh_docs, cfg),
+            ("exact_groups",),
             resume,
         )
         buckets = self._stage(
@@ -107,16 +132,31 @@ class DedupPipeline:
             ("candidate_pairs", "signatures"),
             resume,
         )
+        def all_edges():
+            e = edges.select("src", "dst")
+            if exact_prededup:
+                # exact twins re-enter the graph as jaccard=1.0 edges so the
+                # transitive closure matches a no-prededup run exactly
+                e = e.unionByName(
+                    exact.select(
+                        F.least("rep_id", "doc_id").alias("src"),
+                        F.greatest("rep_id", "doc_id").alias("dst"),
+                    )
+                )
+            return e
+
         comps = self._stage(
             "components",
-            lambda: CC.connected_components(edges, cfg.cc_max_iters),
-            ("edges",),
+            lambda: CC.connected_components(all_edges(), cfg.cc_max_iters),
+            ("edges", "exact_groups"),
             resume,
         )
         keep = self._stage(
             "keep_list",
             lambda: CC.dedup_representatives(
-                CC.with_singletons(comps, sig, id_col="doc_id")
+                CC.with_singletons(
+                    comps, docs.where(F.col("text").isNotNull()), id_col="doc_id"
+                )
             ),
             ("components", "signatures"),
             resume,

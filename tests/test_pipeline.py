@@ -162,3 +162,24 @@ def test_pipeline_text_never_rewritten(spark, tmp_path):
     for stage in ("signatures", "buckets", "edges", "keep_list"):
         cols = spark.read.parquet(f"{wd}/{stage}").columns
         assert "text" not in cols  # derived columns only — text stays in docs
+
+
+def test_exact_prededup_equivalence(spark, tmp_path):
+    """Prededup must not change final cluster assignments — exact twins
+    re-enter as jaccard=1.0 edges."""
+    pages = with_doc_ids(
+        synth_webpages(spark, 400, exact_dup_rate=0.1, boilerplate_rate=0.05)
+    )
+    a = DedupPipeline(spark, CFG, str(tmp_path / "a")).run(
+        pages, resume=False, exact_prededup=True
+    )
+    b = DedupPipeline(spark, CFG, str(tmp_path / "b")).run(
+        pages, resume=False, exact_prededup=False
+    )
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    # prededup shrinks the LSH input (signatures stage)
+    ma = json.load(open(f"{tmp_path}/a/_RUN_METRICS.json"))
+    mb = json.load(open(f"{tmp_path}/b/_RUN_METRICS.json"))
+    assert ma["signatures"]["rows"] < mb["signatures"]["rows"]
