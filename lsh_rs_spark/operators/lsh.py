@@ -161,6 +161,31 @@ def pairs_from_buckets(
     )
 
 
+def salted_hot_bucket_pairs(
+    buckets: DataFrame, cfg: DedupConfig, n_salt: int = 16
+) -> DataFrame:
+    """Partial-coverage pair recovery for buckets ABOVE the cap.
+
+    Each doc gets one deterministic salt cell (pmod(xxhash64(doc_id), S));
+    pairs are generated within cells only, bounding per-cell work to
+    (size/S)² while recovering ≈ 1/S of the hot bucket's pairs — the
+    published salting practice when dropping hot buckets outright is too
+    lossy.  Preferred order of levers: exact-prededup (collapses identical
+    texts, usually eliminates the hot bucket) → cap+count → salting.
+    Coverage is explicit: callers should log n_salt next to the
+    dropped_buckets counters (no silent truncation).
+    """
+    hot_keys = bucket_sizes(buckets).where(
+        F.col("bucket_size") > cfg.max_bucket_size
+    ).select("band_idx", "band_key")
+    salted = buckets.join(hot_keys, ["band_idx", "band_key"]).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+    )
+    return pairs_from_buckets(
+        salted, ["band_idx", "band_key", "salt"], cfg.max_bucket_size, "doc_id"
+    )
+
+
 def candidate_pairs_join(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Self-join formulation (J2, `lsh-rs/src/table/mem.rs:69-74` semantics) —
     kept for cross-checking; identical output to candidate_pairs."""
