@@ -53,24 +53,41 @@ SYNTH_PAGES = max(2_000, int(500_000 * SF))  # sf0.1 → 50k pages (+12% dups)
 
 
 def dedup_pipeline_count(docs, cfg) -> int:
-    """signatures → bands → capped pairs → exact-verify edges → CC → reps."""
+    """exact-prededup → signatures → bands → capped pairs → exact-verify
+    edges → (∪ exact edges) → CC → reps.  Mirrors plans/pipeline.py."""
     # persist the reused intermediates — the checkpointed pipeline writes
     # them to parquet between stages; the in-memory variant must cache them
     # or pairs/edges recompute several times through verify + symmetrize
-    sig = L.signatures(docs, cfg).persist()
-    pairs = edges = None
+    docs = docs.persist()
+    exact = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("rep_id"), F.collect_list("doc_id").alias("ms"))
+        .select("rep_id", F.explode("ms").alias("doc_id"))
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .localCheckpoint(eager=True)  # lineage leaf: referenced on both
+        # sides of a diamond (anti-join + edge union) — see components.py
+    )
+    lsh_docs = docs.join(exact.select("doc_id"), "doc_id", "left_anti")
+    sig = L.signatures(lsh_docs, cfg).persist()
     try:
         buckets = L.explode_bands(sig, cfg)
-        pairs = L.candidate_pairs(buckets, cfg).persist()
-        edges = V.jaccard_edges(pairs, sig, cfg).persist()
-        comps = CC.connected_components(edges, cfg.cc_max_iters)
-        keep = CC.dedup_representatives(CC.with_singletons(comps, sig))
+        pairs = L.candidate_pairs(buckets, cfg).localCheckpoint(eager=True)
+        edges = V.jaccard_edges(pairs, sig, cfg).localCheckpoint(eager=True)
+        all_edges = edges.select("src", "dst").unionByName(
+            exact.select(
+                F.least("rep_id", "doc_id").alias("src"),
+                F.greatest("rep_id", "doc_id").alias("dst"),
+            )
+        )
+        comps = CC.connected_components(all_edges, cfg.cc_max_iters)
+        keep = CC.dedup_representatives(
+            CC.with_singletons(comps, docs.where(F.col("text").isNotNull()))
+        )
         return keep.where(~F.col("is_representative")).count()
     finally:
         sig.unpersist()
-        for df in (pairs, edges):
-            if df is not None:
-                df.unpersist()
+        docs.unpersist()
 
 
 def main() -> None:

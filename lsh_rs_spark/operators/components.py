@@ -38,8 +38,12 @@ def connected_components(
     edges: DataFrame, max_iters: int = 25, checkpoint: bool = True
 ) -> DataFrame:
     """edges(src,dst) → (doc_id, cluster_id) for every node in the graph."""
-    sym = symmetrize(edges)
-    sym = sym.repartition("src").persist()
+    # localCheckpoint (not just persist): the edge lineage can be a large
+    # diamond-shaped plan (e.g. verified edges ∪ exact-dup edges sharing
+    # ancestors); every loop iteration would otherwise re-analyze a plan
+    # tree that duplicates the whole upstream subtree per reference —
+    # driver-side optimizer time then dwarfs the actual shuffles.
+    sym = symmetrize(edges).repartition("src").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -70,7 +74,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select("doc_id", "cluster_id")
 
 
