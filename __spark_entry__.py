@@ -54,8 +54,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_SIG_CACHE: dict = {}
+
+
 def _sig(spark, sf_dir):
-    return L.signatures(_docs(spark, sf_dir), CFG)
+    """Memoized signature table: ~10 queries() entries share this build, and
+    the driver runs them in one session — persist once per (session, sf)."""
+    key = (id(spark), sf_dir)
+    if key not in _SIG_CACHE:
+        _SIG_CACHE[key] = L.signatures(_docs(spark, sf_dir), CFG).persist()
+    return _SIG_CACHE[key]
 
 
 def _edges(spark, sf_dir):
@@ -119,7 +127,7 @@ def q_dedup_keep_list(spark, sf_dir):
 
 
 def q_knn_text_topk(spark, sf_dir):
-    sig = _sig(spark, sf_dir).cache()
+    sig = _sig(spark, sf_dir)
     queries = sig.where(F.col("doc_id") % KNN_QUERY_MOD == 0).select(
         F.col("doc_id").alias("query_id"), "shingles", "minhash"
     )
