@@ -59,8 +59,11 @@ _SIG_CACHE: dict = {}
 
 def _sig(spark, sf_dir):
     """Memoized signature table: ~10 queries() entries share this build, and
-    the driver runs them in one session — persist once per (session, sf)."""
-    key = (id(spark), sf_dir)
+    the driver runs them in one session — persist once per (session, sf).
+    Keyed by applicationId, not id(spark): CPython recycles object ids, so
+    a fresh session could otherwise alias a cache entry bound to a stopped
+    SparkContext."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIG_CACHE:
         _SIG_CACHE[key] = L.signatures(_docs(spark, sf_dir), CFG).persist()
     return _SIG_CACHE[key]

@@ -30,6 +30,7 @@ from lsh_rs_spark.config import (  # noqa: E402
 )
 from lsh_rs_spark.operators import ann as ANN  # noqa: E402
 from lsh_rs_spark.operators import components as CC  # noqa: E402
+from lsh_rs_spark.operators import dedup as DD  # noqa: E402
 from lsh_rs_spark.operators import lsh as L  # noqa: E402
 from lsh_rs_spark.operators import simhash_ops as SH  # noqa: E402
 from lsh_rs_spark.operators import suffix as SX  # noqa: E402
@@ -59,15 +60,9 @@ def dedup_pipeline_count(docs, cfg) -> int:
     # them to parquet between stages; the in-memory variant must cache them
     # or pairs/edges recompute several times through verify + symmetrize
     docs = docs.persist()
-    exact = (
-        docs.where(F.col("text").isNotNull())
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("rep_id"), F.collect_list("doc_id").alias("ms"))
-        .select("rep_id", F.explode("ms").alias("doc_id"))
-        .where(F.col("doc_id") != F.col("rep_id"))
-        .localCheckpoint(eager=True)  # lineage leaf: referenced on both
-        # sides of a diamond (anti-join + edge union) — see components.py
-    )
+    exact = DD.exact_dup_edges(docs).localCheckpoint(eager=True)
+    # lineage leaf: referenced on both sides of a diamond (anti-join +
+    # edge union) — see components.py
     lsh_docs = docs.join(exact.select("doc_id"), "doc_id", "left_anti")
     sig = L.signatures(lsh_docs, cfg).persist()
     try:
@@ -126,7 +121,12 @@ def main() -> None:
     )
 
     # 2. throughput: synthetic web corpus at SF scale (url/warc_ts/html/text/lang)
-    pages = with_doc_ids(synth_webpages(spark, SYNTH_PAGES, partitions=CPUS * 2))
+    # partitions=CPUS (not more): the union of 3 generator branches triples
+    # the scan partition count, and the signature UDF pays per-task
+    # Arrow/worker overhead — ~1.7k docs/partition keeps batches full.
+    pages = with_doc_ids(
+        synth_webpages(spark, SYNTH_PAGES, partitions=CPUS)
+    ).persist()
     n_pages = pages.count()  # materialization cost excluded from dedup timing
     extras["synth_pages"] = n_pages
     extras["synth_near_dups_removed"] = timed(

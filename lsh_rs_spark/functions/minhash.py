@@ -107,10 +107,25 @@ def oph_kernel(
     np.clip(bins, 0, k - 1, out=bins)
     lens = np.diff(np.append(offsets, m))
     row = np.repeat(np.arange(n, dtype=np.int64), lens)
-    np.minimum.at(out, (row, bins), v)
+    if n * k < (1 << 32):
+        # scatter-min via pack+sort: np.minimum.at is an unbuffered ufunc
+        # (~10× slower than a sort at this size).  Pack (row*k+bin) into the
+        # high 32 bits and v (< 2^31) into the low 31; after an ascending
+        # sort the first element of each key group IS the per-(row,bin) min.
+        packed = ((row * k + bins) << 31) | v
+        packed.sort()
+        keys = packed >> 31
+        first = np.ones(keys.shape[0], dtype=bool)
+        np.not_equal(keys[1:], keys[:-1], out=first[1:])
+        sel = packed[first]
+        out.reshape(-1)[sel >> 31] = sel & P
+    else:  # huge batch fallback (n*k keys would overflow the 32-bit pack)
+        np.minimum.at(out, (row, bins), v)
     # rotation densification: empty bin j ← nearest filled bin j+t (mod k),
-    # value offset by +t.  Vectorized as a single reverse minimum.accumulate
-    # over a doubled bin axis (no per-shift loop).
+    # value offset by +t*C with C > P (Shrivastava & Li 2014's
+    # collision-avoiding constant: borrowed values can never equal a
+    # genuinely filled bin's hash in another signature).  Vectorized as a
+    # single reverse minimum.accumulate over a doubled bin axis.
     filled = out != P
     empty_rows = ~filled.all(axis=1) & filled.any(axis=1)
     if empty_rows.any():
@@ -124,7 +139,7 @@ def oph_kernel(
         nxt_k = nxt[:, :k]                          # for j in [0,k): j' in [j, j+k)
         t = nxt_k - np.arange(k, dtype=np.int64)[None, :]
         vals2 = np.concatenate([sub, sub], axis=1)
-        borrowed = np.take_along_axis(vals2, nxt_k, axis=1) + t
+        borrowed = np.take_along_axis(vals2, nxt_k, axis=1) + t * (P + 1)
         out[empty_rows] = np.where(subf, sub, borrowed)
     return out
 

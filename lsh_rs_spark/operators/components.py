@@ -35,9 +35,22 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 25, checkpoint: bool = True
+    edges: DataFrame,
+    max_iters: int = 25,
+    checkpoint: bool = True,
+    strict: bool = True,
 ) -> DataFrame:
-    """edges(src,dst) → (doc_id, cluster_id) for every node in the graph."""
+    """edges(src,dst) → (doc_id, cluster_id) for every node in the graph.
+
+    Hash-min propagates one hop per iteration, so convergence needs
+    O(component diameter) rounds.  If ``max_iters`` is exhausted while
+    labels are still changing the result is WRONG for the unconverged
+    components — with ``strict`` (default) that raises instead of silently
+    returning partial labels; callers that prefer best-effort labels pass
+    ``strict=False`` and should surface the non-convergence in their run
+    manifest (``connected_components.last_converged_in`` holds the round
+    count of the most recent call, or None if it hit the cap).
+    """
     # localCheckpoint (not just persist): the edge lineage can be a large
     # diamond-shaped plan (e.g. verified edges ∪ exact-dup edges sharing
     # ancestors); every loop iteration would otherwise re-analyze a plan
@@ -50,7 +63,8 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
-    for _ in range(max_iters):
+    connected_components.last_converged_in = None
+    for it in range(max_iters):
         # hash-min step in one join + one aggregation (2 shuffles/iter):
         # labels flow across edges, union the node's own label, take min
         flowed = sym.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
@@ -73,7 +87,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            connected_components.last_converged_in = it + 1
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "iterations — some components have diameter > max_iters and "
+                "their cluster_ids are wrong; raise max_iters (or pass "
+                "strict=False to accept partial labels)."
+            )
     return labels.select("doc_id", "cluster_id")
 
 

@@ -17,14 +17,45 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """Exact duplicate detection: identical `text` bytes → one group.
 
     Output: (doc_id, rep_id, group_size) — rep is the min id per group.
-    At scale this is one hash-agg on xxhash64(text) then a rep join; here we
-    group on text directly (semantically identical, oracle-friendly).
+    The shuffle key is ``md5(text)`` (16 bytes), NOT the raw text — at web
+    scale partitioning by the document body would shuffle the corpus bytes
+    as keys.  md5 is 128-bit so accidental collisions are negligible
+    (~n²/2¹²⁹); the DuckDB oracle groups on raw text and matches exactly.
     """
-    w = Window.partitionBy(text_col)
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary")))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.min(id_col).over(w).alias("rep_id"),
         F.count("*").over(w).alias("group_size"),
+    )
+
+
+def exact_dup_edges(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scale form of exact dedup for the pipeline: (rep_id, doc_id) rows for
+    every non-representative member of a byte-identical-text group.
+
+    One hash-agg on ``md5(text)`` (16-byte shuffle key, bounded aggregation
+    state — min + count, no collect_list) + one join back.  The rep side
+    only keeps groups with >= 2 members, so it is tiny (≈ the dup rate) and
+    AQE broadcasts it; a massive boilerplate group costs one counter per
+    partition, not an unbounded list in one buffer.
+    """
+    h = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("_th"),
+    )
+    reps = (
+        h.groupBy("_th")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("_th", "rep_id")
+    )
+    return (
+        h.join(reps, "_th")
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select("rep_id", "doc_id")
     )
 
 

@@ -137,7 +137,20 @@ def pairs_from_buckets(
 ) -> DataFrame:
     """Generic within-bucket pairing: groupBy(bucket key) + in-row pair
     explosion → distinct canonical (src, dst).  Shared by the MinHash,
-    SimHash and SRP paths."""
+    SimHash and SRP paths.
+
+    Hot buckets are filtered **before** the collect_list via a window count
+    on the same partitioning (no extra exchange — the window's shuffle is
+    reused by the aggregation), so an oversized bucket never materializes
+    its full id list in a single aggregation buffer.  The size guard on the
+    aggregated list is kept as a second line of defense for callers that
+    pass pre-grouped data."""
+    w = Window.partitionBy(*key_cols)
+    long_df = (
+        long_df.withColumn("_bs", F.count("*").over(w))
+        .where((F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size))
+        .drop("_bs")
+    )
     pair_expr = F.explode(
         F.flatten(
             F.transform(

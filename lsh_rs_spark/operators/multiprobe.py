@@ -54,29 +54,27 @@ def multiprobe_band_keys(
     """(band_idx, band_key, query_id, probe_rank) — perturbed probe keys.
 
     probe_rank 0 is the base probe; >0 are flips in step-wise order.
+    One scan: all (band × probe) keys are built as an array of structs and
+    exploded in-row — not ``bands`` unioned scans of the sketch table.
     """
-    out = None
-    for bi in range(bands):
-        base = band_expr("simhash" if "simhash" in sketches.columns else "srp", bi, bits_per_band)
-        masks = flip_masks(bits_per_band, budget)
-        probes = F.array(*[F.lit(m).cast("long") for m in masks])
-        df = sketches.select(
-            F.lit(bi).alias("band_idx"),
-            base.alias("base_key"),
-            F.col(sketches.columns[0]).alias(id_alias),
-        ).select(
-            "band_idx",
-            F.posexplode(probes).alias("probe_rank", "mask"),
-            F.col(id_alias),
-            F.col("base_key"),
-        ).select(
-            "band_idx",
-            F.col("base_key").bitwiseXOR(F.col("mask")).alias("band_key"),
-            F.col(id_alias),
-            "probe_rank",
-        )
-        out = df if out is None else out.unionByName(df)
-    return out
+    sketch_col = "simhash" if "simhash" in sketches.columns else "srp"
+    masks = flip_masks(bits_per_band, budget)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band_idx"),
+                band_expr(sketch_col, bi, bits_per_band)
+                .bitwiseXOR(F.lit(m).cast("long"))
+                .alias("band_key"),
+                F.lit(rank).cast("int").alias("probe_rank"),
+            )
+            for bi in range(bands)
+            for rank, m in enumerate(masks)
+        ]
+    )
+    return sketches.select(
+        F.col(sketches.columns[0]).alias(id_alias), F.explode(probes).alias("p")
+    ).select("p.band_idx", "p.band_key", id_alias, "p.probe_rank")
 
 
 def multiprobe_candidates(
@@ -86,17 +84,19 @@ def multiprobe_candidates(
     budget: int,
 ) -> DataFrame:
     """Multi-probe bucket union (≙ `multi_probe_bucket_union`,
-    `multi_probe.rs:387-418`): distinct (query_id, doc_id) candidates."""
+    `multi_probe.rs:387-418`): distinct (query_id, doc_id) candidates.
+
+    Both sides are single scans: corpus bands via the struct-array explode
+    (``sketch_bands``), probe keys via the in-row probe explosion above.
+    The probe side is broadcast so the corpus band table never shuffles.
+    """
+    from lsh_rs_spark.functions.simhash import sketch_bands
+
     sketch_col = "simhash" if "simhash" in corpus_sketches.columns else "srp"
     id_col = corpus_sketches.columns[0]
-    corpus_bands = None
-    for bi in range(cfg.bands):
-        b = corpus_sketches.select(
-            F.lit(bi).alias("band_idx"),
-            band_expr(sketch_col, bi, cfg.bits_per_band).alias("band_key"),
-            F.col(id_col).alias("doc_id"),
-        )
-        corpus_bands = b if corpus_bands is None else corpus_bands.unionByName(b)
+    corpus_bands = sketch_bands(
+        corpus_sketches, sketch_col, id_col, cfg.bands, cfg.bits_per_band, "doc_id"
+    )
     probes = multiprobe_band_keys(
         query_sketches, cfg.bands, cfg.bits_per_band, budget
     )

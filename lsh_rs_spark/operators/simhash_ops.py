@@ -87,8 +87,14 @@ def simhash_candidate_pairs(
 def simhash_near_dup_pairs(
     docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", use_udf: bool = True
 ) -> DataFrame:
-    """Full SimHash near-dup path: sketch → band pairs → Hamming filter."""
-    sk = simhash_sketches(docs, cfg, id_col, use_udf=use_udf)
+    """Full SimHash near-dup path: sketch → band pairs → Hamming filter.
+
+    The sketch table is referenced three times (banding + both join sides)
+    — persist it so the sketch UDF runs once, not 3×.  On a cluster the
+    pipeline's StageStore checkpoint plays this role; inside one query the
+    in-memory persist is the right lever.
+    """
+    sk = simhash_sketches(docs, cfg, id_col, use_udf=use_udf).persist()
     pairs = simhash_candidate_pairs(sk, cfg)
     skb = sk  # corpus-sized: no broadcast hint, AQE decides
     return (

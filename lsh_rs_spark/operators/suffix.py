@@ -489,25 +489,54 @@ def substring_dup_pairs(
         anchors = winnowing_anchors(
             docs, min_match, k_gram, snippet_radius, id_col, text_col
         )
+    # One shuffle total: collect each anchor group into a single row, then
+    # run the per-group suffix-array kernel with mapInPandas directly over
+    # the grouped rows (many groups per Arrow batch — cheaper than
+    # applyInPandas, which re-shuffles and invokes the kernel per group).
     grouped = (
         anchors.groupBy("anchor")
         .agg(F.collect_list(F.struct("doc_id", "snippet")).alias("members"))
         .where((F.size("members") >= 2) & (F.size("members") <= max_group_docs))
-        .select("anchor", F.explode("members").alias("m"))
-        .select("anchor", F.col("m.doc_id").alias("doc_id"), F.col("m.snippet").alias("snippet"))
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _find_pairs_in_group(pdf.drop_duplicates("doc_id"), min_match)
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for members in pdf["members"]:
+                g = pd.DataFrame(
+                    {
+                        "doc_id": [int(m["doc_id"]) for m in members],
+                        "snippet": [m["snippet"] for m in members],
+                    }
+                ).drop_duplicates("doc_id")
+                if len(g) >= 2:
+                    outs.append(_find_pairs_in_group(g, min_match))
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "src": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                        "match_len": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
 
-    pairs = grouped.groupBy("anchor").applyInPandas(fn, schema=_OUT_SCHEMA)
+    pairs = grouped.mapInPandas(fn, schema=_OUT_SCHEMA)
     return pairs.groupBy("src", "dst").agg(F.max("match_len").alias("match_len"))
 
 
 def hot_anchor_count(docs: DataFrame, min_match: int = 64, k_gram: int = 24,
                      snippet_radius: int = 128, max_group_docs: int = 200) -> int:
-    """Skew counter: number of anchors dropped by the group cap."""
-    anchors = winnowing_anchors(docs, min_match, k_gram, snippet_radius)
+    """Skew counter: number of anchors dropped by the group cap.
+
+    Uses the same vectorized kernel stream as production (the Column-
+    expression path costs a full extra slow pass for a single counter).
+    """
+    anchors = winnowing_anchors_kernel(
+        docs, min_match, k_gram, snippet_radius
+    )
     return (
         anchors.groupBy("anchor")
         .agg(F.countDistinct("doc_id").alias("n"))

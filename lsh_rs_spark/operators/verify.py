@@ -30,13 +30,39 @@ def jaccard_edges(
 ) -> DataFrame:
     """Exact Jaccard for each candidate pair; keep >= threshold.
 
-    Plan shape: pairs ⋈ shingles(src) ⋈ shingles(dst) on sid — two shuffles
-    on doc keys plus one count agg on the pair key. Set sizes come from the
-    signature table (one extra cheap agg), not a recount of the join.
+    Plan shape: two joins resolving each pair side to its (distinct-id)
+    shingle array, then **in-row** ``size(array_intersect(...))`` — fully
+    codegen, no explode, no per-pair groupBy.  The shuffles are keyed by
+    doc ids (well-distributed), and the per-task state is one pair row with
+    its two arrays — bounded by document size, independent of corpus size.
+    Identical output to the relational explode form (``jaccard_edges_exploded``,
+    kept for cross-checking): shingle ids are distinct per doc, so
+    ``size(array_intersect)`` equals the exploded match count exactly.
     """
-    # prune: only docs that occur in a candidate pair need their shingles
-    # shuffled — at web scale candidates are a small fraction of the corpus,
-    # so this semi-join shrinks the intersection join by ~the dup rate.
+    res = (
+        pairs
+        .join(sig.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_src")), "src")
+        .join(sig.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_dst")), "dst")
+        .withColumn("n_common", F.size(F.array_intersect("sh_src", "sh_dst")).cast("long"))
+        .withColumn(
+            "n_union",
+            (F.size("sh_src") + F.size("sh_dst")).cast("long") - F.col("n_common"),
+        )
+        .withColumn("jaccard", F.col("n_common") / F.col("n_union"))
+        .where(F.col("jaccard") >= cfg.jaccard_threshold)
+    )
+    return res.select("src", "dst", "n_common", "n_union", "jaccard")
+
+
+def jaccard_edges_exploded(
+    pairs: DataFrame, sig: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Relational (explode + join on sid) twin of ``jaccard_edges`` — the
+    form mirrored by the DuckDB oracle SQL; kept for cross-checking.
+
+    Plan shape: pairs ⋈ shingles(src) ⋈ shingles(dst) on sid — two shuffles
+    on doc keys plus one count agg on the pair key.
+    """
     cand_docs = (
         pairs.select(F.col("src").alias("doc_id"))
         .unionByName(pairs.select(F.col("dst").alias("doc_id")))

@@ -29,6 +29,7 @@ from lsh_rs_spark.config import DedupConfig, PIPELINE_CONFIG
 from lsh_rs_spark.operators import components as CC
 from lsh_rs_spark.operators import lsh as L
 from lsh_rs_spark.operators import verify as V
+from lsh_rs_spark.operators.dedup import exact_dup_edges
 from lsh_rs_spark.sources.storage import StageStore
 
 STAGES = (
@@ -79,11 +80,10 @@ class DedupPipeline:
 
         exact = self._stage(
             "exact_groups",
-            lambda: docs.where(F.col("text").isNotNull()).groupBy("text").agg(
-                F.min("doc_id").alias("rep_id"),
-                F.collect_list("doc_id").alias("members"),
-            ).select("rep_id", F.explode("members").alias("doc_id"))
-            .where(F.col("doc_id") != F.col("rep_id")),
+            # md5(text) shuffle key + rep join-back: never shuffles document
+            # bytes as keys, never collect_list()s an unbounded member list
+            # (see operators/dedup.exact_dup_edges).
+            lambda: exact_dup_edges(docs),
             (),
             resume,
         )
