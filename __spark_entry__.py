@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lsh_rs_spark import oracle as O  # noqa: E402
 from lsh_rs_spark.config import (  # noqa: E402
     ORACLE_CONFIG,
+    ORACLE_MIPS,
     ORACLE_SIMHASH,
     ORACLE_SRP,
 )
@@ -28,6 +29,7 @@ from lsh_rs_spark.operators import ann as ANN  # noqa: E402
 from lsh_rs_spark.operators import components as CC  # noqa: E402
 from lsh_rs_spark.operators import dedup as DD  # noqa: E402
 from lsh_rs_spark.operators import lsh as L  # noqa: E402
+from lsh_rs_spark.operators import mips_ops as MI  # noqa: E402
 from lsh_rs_spark.operators import multiprobe as MP  # noqa: E402
 from lsh_rs_spark.operators import simhash_ops as SH  # noqa: E402
 from lsh_rs_spark.operators import suffix as SX  # noqa: E402
@@ -219,6 +221,22 @@ def q_l2_buckets(spark, sf_dir):
     )
 
 
+def q_mips_buckets(spark, sf_dir):
+    # P3: asymmetric-transform put-side bucket table (Column-expression
+    # path — bit-identical doubles to the DuckDB twin; the NumPy kernel is
+    # the production path, checked in pytest)
+    emb = _emb(spark, sf_dir)
+    M = MI.mips_fit(emb, "embedding", ORACLE_MIPS.dim)
+    return MI.mips_band_table(emb, ORACLE_MIPS, M, "put", use_udf=False)
+
+
+def q_mips_topk(spark, sf_dir):
+    # P3+A5: fit → asymmetric bucket probe → exact inner-product re-rank
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return MI.mips_topk(queries, emb, ORACLE_MIPS, ANN_K, use_udf=False)
+
+
 def q_substring_dups(spark, sf_dir):
     # rows-only check (suffix arrays are not reasonably SQL-expressible)
     return SX.substring_dup_pairs(_docs(spark, sf_dir), min_match=48, k_gram=16)
@@ -264,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_sketches": q_srp_sketches,
         "srp_pairs": q_srp_pairs,
         "l2_buckets": q_l2_buckets,
+        "mips_buckets": q_mips_buckets,
+        "mips_topk": q_mips_topk,
         "substring_dups": q_substring_dups,
         "multiprobe_knn_candidates": q_multiprobe_knn_candidates,
     }
@@ -293,5 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_sketches": O.q_srp_sketches(SRP),
         "srp_pairs": O.q_srp_pairs(SRP, SRP_MAX_HAMMING),
         "l2_buckets": O.q_l2_buckets(),
+        "mips_buckets": O.q_mips_buckets(ORACLE_MIPS),
+        "mips_topk": O.q_mips_topk(ORACLE_MIPS, ANN_QUERY_MOD, ANN_K),
         # substring_dups / multiprobe_knn_candidates: rows-only (non-SQL ops)
     }

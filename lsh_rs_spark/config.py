@@ -164,3 +164,29 @@ class SRPConfig:
 
 
 ORACLE_SRP = SRPConfig()
+
+
+@dataclass(frozen=True)
+class MIPSConfig:
+    """Maximum-inner-product-search config (ALSH transform + L2 family).
+
+    Mirrors the reference's ``MIPS::new(dim, r, U, m, n_projections, seed)``
+    (`lsh-rs/src/hash.rs:152-161`): the L2 hasher operates on dim+m after
+    the asymmetric transform.  ``U`` shrinks stored norms below 1 so the
+    appended ``norm_sq^i`` terms vanish geometrically.
+    """
+
+    dim: int = 64
+    U: float = 0.83
+    m: int = 3
+    n_tables: int = 2                 # L2 hash tables (L)
+    k_hash: int = 4                   # projections per table (K)
+    r: float = 4.0                    # p-stable bucket width
+    seed: int = 42
+
+    @property
+    def hash_dim(self) -> int:
+        return self.dim + self.m
+
+
+ORACLE_MIPS = MIPSConfig()

@@ -13,7 +13,13 @@ The driver pre-registers parquet views named `documents` / `embeddings`.
 
 from __future__ import annotations
 
-from lsh_rs_spark.config import MERSENNE31, DedupConfig, SimHashConfig, SRPConfig
+from lsh_rs_spark.config import (
+    MERSENNE31,
+    DedupConfig,
+    MIPSConfig,
+    SimHashConfig,
+    SRPConfig,
+)
 from lsh_rs_spark.functions.hashing import md5_64_sql, minhash_params
 from lsh_rs_spark.functions.shingles import shingles_sql
 from lsh_rs_spark.functions.vectors import srp_sketch_sql
@@ -421,3 +427,71 @@ def q_l2_buckets(n_tables: int = 2, k: int = 4, dim: int = 64,
         f"SELECT vec_id, {frag} AS band_key FROM embeddings" for frag in frags
     )
     return f"SELECT vec_id, band_key FROM ({selects})"
+
+
+# ---------------------------------------------------------------------------
+# MIPS (asymmetric transform + L2 family) — twins of operators/mips_ops.py
+# ---------------------------------------------------------------------------
+
+def _mips_ctes(cfg: MIPSConfig, query_mod: int) -> str:
+    """fit (max norm) → transformed put/query vectors → band tables."""
+    from lsh_rs_spark.functions.l2 import l2_hash_sql
+    from lsh_rs_spark.functions.mips import (
+        max_norm_sql,
+        mips_transform_put_sql,
+        mips_transform_query_sql,
+    )
+
+    put_vec = mips_transform_put_sql("e.embedding", "f.M", cfg.U, cfg.m, cfg.dim)
+    qry_vec = mips_transform_query_sql("e.embedding", cfg.m, cfg.dim)
+    put_frags = l2_hash_sql("tv", cfg.n_tables, cfg.k_hash, cfg.hash_dim, cfg.r, cfg.seed)
+    put_bands = " UNION ALL ".join(
+        f"SELECT vec_id, {frag} AS band_key FROM put_t" for frag in put_frags
+    )
+    qry_bands = " UNION ALL ".join(
+        f"SELECT vec_id, {frag} AS band_key FROM query_t" for frag in put_frags
+    )
+    return f"""
+fitted AS ({max_norm_sql('embeddings', 'embedding', cfg.dim)}),
+put_t AS (
+  SELECT e.vec_id, {put_vec} AS tv FROM embeddings e CROSS JOIN fitted f
+),
+query_t AS (
+  SELECT e.vec_id, {qry_vec} AS tv FROM embeddings e
+  WHERE e.vec_id % {query_mod} = 0
+),
+put_bands AS ({put_bands}),
+query_bands AS ({qry_bands})
+""".strip()
+
+
+def q_mips_buckets(cfg: MIPSConfig) -> str:
+    return (
+        f"WITH {_mips_ctes(cfg, query_mod=1 << 62)} "
+        "SELECT vec_id, band_key FROM put_bands"
+    )
+
+
+def q_mips_topk(cfg: MIPSConfig, query_mod: int = 100, k: int = 5) -> str:
+    from lsh_rs_spark.functions.mips import inner_product_sql
+
+    dot = inner_product_sql("q.embedding", "c.embedding", cfg.dim)
+    return f"""
+WITH {_mips_ctes(cfg, query_mod)},
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, pb.vec_id AS neighbor_id
+  FROM query_bands qb JOIN put_bands pb USING (band_key)
+  WHERE qb.vec_id <> pb.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {dot} AS dot
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
