@@ -199,6 +199,15 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    # production scale path (SRP-bucketed, no cartesian); the brute-force
+    # baseline is gated separately as embedding_near_dup_exact
+    return DD.embedding_near_dup_lsh(
+        _emb(spark, sf_dir), SRP, NEAR_DUP_COS, use_udf=False
+    )
+
+
+def q_embedding_near_dup_exact(spark, sf_dir):
+    # O(n²) exact baseline — the recall oracle of the LSH path
     return DD.embedding_near_dup_pairs(_emb(spark, sf_dir), NEAR_DUP_COS)
 
 
@@ -238,12 +247,17 @@ def q_mips_topk(spark, sf_dir):
 
 
 def q_substring_dups(spark, sf_dir):
-    # rows-only check (suffix arrays are not reasonably SQL-expressible)
-    return SX.substring_dup_pairs(_docs(spark, sf_dir), min_match=48, k_gram=16)
+    # oracle-gated: the pair SET is exactly SQL-expressible (k-gram
+    # diagonal islands in DuckDB); match_len stays pytest-verified
+    # (snippet-local, planted spans)
+    return SX.substring_dup_pairs(
+        _docs(spark, sf_dir), min_match=48, k_gram=16
+    ).select("src", "dst")
 
 
 def q_multiprobe_knn_candidates(spark, sf_dir):
-    # rows-only check: step-wise multi-probe candidate expansion (M1)
+    # oracle-gated: step-wise multi-probe candidate expansion (M1) — DuckDB
+    # enumerates the same base+flip probe keys and unions bucket hits
     sk = SH.simhash_sketches(_docs(spark, sf_dir), SIM, use_udf=True)
     qk = sk.where(F.col("doc_id") % KNN_QUERY_MOD == 0).select(
         F.col("doc_id").alias("query_id"), "simhash"
@@ -279,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "srp_sketches": q_srp_sketches,
         "srp_pairs": q_srp_pairs,
         "l2_buckets": q_l2_buckets,
@@ -309,11 +324,15 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": O.q_lang_id(),
         "doc_fingerprints": O.q_doc_fingerprints(),
         "ann_cosine_topk": O.q_ann_cosine_topk(ANN_QUERY_MOD, ANN_K),
-        "embedding_near_dup": O.q_embedding_near_dup(NEAR_DUP_COS),
+        "embedding_near_dup": O.q_embedding_near_dup_lsh(SRP, NEAR_DUP_COS),
+        "embedding_near_dup_exact": O.q_embedding_near_dup(NEAR_DUP_COS),
         "srp_sketches": O.q_srp_sketches(SRP),
         "srp_pairs": O.q_srp_pairs(SRP, SRP_MAX_HAMMING),
         "l2_buckets": O.q_l2_buckets(),
         "mips_buckets": O.q_mips_buckets(ORACLE_MIPS),
         "mips_topk": O.q_mips_topk(ORACLE_MIPS, ANN_QUERY_MOD, ANN_K),
-        # substring_dups / multiprobe_knn_candidates: rows-only (non-SQL ops)
+        "substring_dups": O.q_substring_dups(min_match=48, k_gram=16),
+        "multiprobe_knn_candidates": O.q_multiprobe_candidates(
+            ORACLE_SIMHASH, KNN_QUERY_MOD, budget=4
+        ),
     }

@@ -31,6 +31,7 @@ from lsh_rs_spark.config import (  # noqa: E402
 from lsh_rs_spark.operators import ann as ANN  # noqa: E402
 from lsh_rs_spark.operators import components as CC  # noqa: E402
 from lsh_rs_spark.operators import dedup as DD  # noqa: E402
+from lsh_rs_spark.operators import ivf as IVF  # noqa: E402
 from lsh_rs_spark.operators import lsh as L  # noqa: E402
 from lsh_rs_spark.operators import simhash_ops as SH  # noqa: E402
 from lsh_rs_spark.operators import suffix as SX  # noqa: E402
@@ -155,6 +156,26 @@ def main() -> None:
         "substring_dups_documents",
         lambda: SX.substring_dup_pairs(docs, min_match=48, k_gram=16).count(),
     )
+
+    # 6. ANN quality gate: recall@10 of the scale paths vs brute force
+    #    (reference analogue: LSH_recall.ipynb harness)
+    def recall_at_k(approx_df, exact_df):
+        a = approx_df.select("query_id", "neighbor_id")
+        e = exact_df.select("query_id", "neighbor_id").persist()
+        hit = a.join(e, ["query_id", "neighbor_id"], "left_semi").count()
+        total = e.count()
+        e.unpersist()
+        return round(hit / total, 4) if total else None
+
+    exact10 = ANN.brute_force_topk(queries, emb, k=10).persist()
+    extras["ann_srp_recall_at_10"] = timed(
+        "ann_recall_eval",
+        lambda: recall_at_k(ANN.ann_topk(queries, emb, ORACLE_SRP, k=10), exact10),
+    )
+    extras["ann_ivf_recall_at_10"] = recall_at_k(
+        IVF.ivf_topk(queries, emb, n_lists=64, nprobe=8, k=10), exact10
+    )
+    exact10.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

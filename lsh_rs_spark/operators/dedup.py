@@ -59,6 +59,37 @@ def exact_dup_edges(
     )
 
 
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    srp_cfg,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_udf: bool = True,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Embedding near-dup, scale path: SRP banding → bucketed candidate
+    pairs → exact cosine verify.  No cartesian term anywhere — candidate
+    count is bounded by bucket sizes, exactly like the MinHash text path.
+    The brute-force twin (``embedding_near_dup_pairs``) is the recall
+    oracle, mirroring the reference's exact-cdist test pattern
+    (`lsh-py/test/test_.py:26`).
+    """
+    from lsh_rs_spark.operators.ann import srp_candidate_pairs, srp_sketches
+
+    sk = srp_sketches(emb, srp_cfg, id_col, vec_col, use_udf=use_udf)
+    pairs = srp_candidate_pairs(sk, srp_cfg, max_bucket_size)
+    vecs = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return (
+        pairs
+        .join(vecs.select(F.col("_id").alias("src"), F.col("_v").alias("va")), "src")
+        .join(vecs.select(F.col("_id").alias("dst"), F.col("_v").alias("vb")), "dst")
+        .withColumn("cos", cosine_sim("va", "vb"))
+        .where(F.col("cos") >= threshold)
+        .select("src", "dst", "cos")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
@@ -67,8 +98,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (brute-force; the exact baseline).
 
-    O(n²) by construction — the scale path is SRP-bucketed pairing
-    (operators/ann.py srp_candidate_pairs) feeding the same cosine verify.
+    O(n²) by construction — kept as the small-scale oracle twin of
+    ``embedding_near_dup_lsh`` (which is the production/driver-gated path).
     """
     a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))

@@ -90,6 +90,39 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
     )
 
 
+def bucket_stats_sampled(buckets: DataFrame, sample_mod: int = 16) -> DataFrame:
+    """Sampled `describe` — the reference bounds bucket-stats cost with
+    ``DESCRIBE_MAX = 5000`` (`lsh-rs/src/constants.rs:1`); at 100 TB a full
+    ``bucket_stats`` pass costs a whole extra shuffle of the bucket table.
+
+    Deterministic 1/sample_mod hash-sample of *bucket keys* (not rows — a
+    bucket is either fully in or fully out, so per-bucket sizes are exact).
+    ``n_buckets``/``n_entries``/``n_colliding_buckets`` are scaled back up
+    (unbiased estimates); ``avg_bucket_size`` is the sample average;
+    ``max_bucket_size`` is a lower bound (the true max is in the sample
+    with prob 1/sample_mod) — use ``dropped_buckets`` for exact hot-bucket
+    accounting.
+    """
+    sampled = buckets.where(
+        F.pmod(F.xxhash64("band_key"), F.lit(sample_mod)) == 0
+    )
+    m = F.lit(sample_mod)
+    return (
+        bucket_sizes(sampled)
+        .groupBy("band_idx")
+        .agg(
+            (F.count("*") * m).alias("n_buckets_est"),
+            (F.sum("bucket_size") * m).alias("n_entries_est"),
+            F.avg("bucket_size").alias("avg_bucket_size"),
+            F.max("bucket_size").alias("max_bucket_size_lb"),
+            (F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0)) * m).alias(
+                "n_colliding_buckets_est"
+            ),
+        )
+        .orderBy("band_idx")
+    )
+
+
 def capped_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Drop hot buckets (> max_bucket_size) — the explicit skew guard.
 

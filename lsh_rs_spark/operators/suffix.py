@@ -124,15 +124,21 @@ def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
         parts.append(t)
         parts.append(b"\x00" + idx.to_bytes(4, "little") + b"\x00")
     blob = b"".join(parts)
-    owner_of = np.zeros(len(blob), dtype=np.int64)
+    # owner = -1 for separator bytes: a suffix STARTING inside doc i's
+    # separator is mostly composed of doc i+1's text — attributing it to
+    # doc i emitted false pairs (doc i "matching" whatever run docs i+1 and
+    # i+2 genuinely share, e.g. aligned snippet prefixes of a true dup pair).
+    owner_of = np.full(len(blob), -1, dtype=np.int64)
     pos = 0
     for idx, t in enumerate(texts):
-        owner_of[pos : pos + len(t) + 6] = idx
+        owner_of[pos : pos + len(t)] = idx
         pos += len(t) + 6
     sa = _suffix_array_bytes(blob)
     out: dict[tuple[int, int], int] = {}
 
     def emit(oi: int, oj: int, l: int) -> None:
+        if oi < 0 or oj < 0:
+            return
         a, b = int(ids[oi]), int(ids[oj])
         if a == b:
             return

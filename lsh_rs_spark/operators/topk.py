@@ -45,18 +45,44 @@ def probe_buckets(
     )
 
 
+def candidate_bound(candidates: DataFrame, bound: int) -> DataFrame:
+    """Per-query candidate cap before the exact re-rank.
+
+    ≙ the reference's bounded take: candidates are truncated to
+    ``QUERY_L_FACT_UPPER_BOUND * L`` before distance computation
+    (`examples/reverse-img-search/src/query.rs:54-59`,
+    `lsh-rs/src/constants.rs:7-9`; `bound` in `lsh-py/src/lib.rs:44-47`).
+    Keep the most-promising candidates — highest n_collisions first,
+    doc_id ascending for a pinned deterministic order — so one hot query
+    colliding with a mega-bucket pays O(bound), not O(bucket).
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_collisions").desc(), F.col("doc_id").asc()
+    )
+    return (
+        candidates.withColumn("_cr", F.row_number().over(w))
+        .where(F.col("_cr") <= bound)
+        .drop("_cr")
+    )
+
+
 def rerank_topk(
     candidates: DataFrame,
     query_sig: DataFrame,
     corpus_sig: DataFrame,
     k: int,
     cfg: DedupConfig,
+    bound: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard re-rank + per-query top-k.
 
     Ties broken by doc_id ascending (pinned, deterministic).
     Returns (query_id, doc_id, n_collisions, jaccard, rank).
+    ``bound`` (optional) pre-slices candidates per query before the exact
+    re-rank — see ``candidate_bound``.
     """
+    if bound is not None:
+        candidates = candidate_bound(candidates, bound)
     qs = shingle_table(query_sig.select(F.col("query_id").alias("doc_id"), "shingles")) \
         .select(F.col("doc_id").alias("query_id"), "sid")
     cs = shingle_table(corpus_sig.select("doc_id", "shingles"))
@@ -94,7 +120,8 @@ def knn(
     buckets: DataFrame,
     k: int,
     cfg: DedupConfig,
+    bound: int | None = None,
 ) -> DataFrame:
     """Full predict path: probe → union → re-rank → top-k."""
     cand = probe_buckets(query_sig, buckets, cfg)
-    return rerank_topk(cand, query_sig, corpus_sig, k, cfg)
+    return rerank_topk(cand, query_sig, corpus_sig, k, cfg, bound=bound)

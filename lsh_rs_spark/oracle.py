@@ -389,6 +389,32 @@ WHERE {cos} >= {threshold}
 """.strip()
 
 
+def q_embedding_near_dup_lsh(cfg: SRPConfig, threshold: float = 0.45) -> str:
+    """Twin of dedup.embedding_near_dup_lsh: SRP banding → bucketed pairs →
+    exact cosine filter (no cartesian term)."""
+    bpb = cfg.bits_per_band
+    mask = (1 << bpb) - 1
+    srp = srp_sketch_sql("embedding", cfg.seed, cfg.n_bits, cfg.dim)
+    cos = _cos("a.embedding", "b.embedding")
+    return f"""
+WITH sk AS (SELECT vec_id, {srp} AS srp FROM embeddings),
+bands AS (
+  SELECT vec_id, bi AS band_idx, (srp >> (bi * {bpb})) & {mask} AS band_key
+  FROM sk CROSS JOIN (SELECT UNNEST(RANGE(0, {cfg.bands})) AS bi)
+),
+pairs AS (
+  SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
+  FROM bands l JOIN bands r USING (band_idx, band_key)
+  WHERE l.vec_id < r.vec_id
+)
+SELECT p.src, p.dst, {cos} AS cos
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.src
+JOIN embeddings b ON b.vec_id = p.dst
+WHERE {cos} >= {threshold}
+""".strip()
+
+
 def q_srp_sketches(cfg: SRPConfig) -> str:
     return (
         "SELECT vec_id, "
@@ -462,6 +488,72 @@ query_t AS (
 ),
 put_bands AS ({put_bands}),
 query_bands AS ({qry_bands})
+""".strip()
+
+
+def q_multiprobe_candidates(
+    cfg: SimHashConfig, query_mod: int = 7, budget: int = 4
+) -> str:
+    """Exact twin of operators/multiprobe.multiprobe_candidates: per query
+    band, probe the base key plus ``budget`` step-wise bit-flip
+    perturbations (`lsh-rs/src/multi_probe.rs:108-179` order) and union the
+    bucket hits."""
+    from lsh_rs_spark.operators.multiprobe import flip_masks
+
+    bpb = cfg.bits_per_band
+    mask = (1 << bpb) - 1
+    masks = ", ".join(f"({m})" for m in flip_masks(bpb, budget))
+    return f"""
+WITH {simhash_ctes(cfg)},
+bands AS (
+  SELECT doc_id, bi AS band_idx, (simhash >> (bi * {bpb})) & {mask} AS band_key
+  FROM sketches CROSS JOIN (SELECT UNNEST(RANGE(0, {cfg.bands})) AS bi)
+),
+probes AS (
+  SELECT b.doc_id AS query_id, b.band_idx,
+         xor(b.band_key, CAST(m.mask AS BIGINT)) AS band_key
+  FROM bands b CROSS JOIN (VALUES {masks}) m(mask)
+  WHERE b.doc_id % {query_mod} = 0
+)
+SELECT DISTINCT p.query_id, c.doc_id
+FROM probes p JOIN bands c ON c.band_idx = p.band_idx AND c.band_key = p.band_key
+WHERE c.doc_id <> p.query_id
+""".strip()
+
+
+def q_substring_dups(min_match: int = 48, k_gram: int = 16) -> str:
+    """Ground truth for suffix-array substring dedup: two docs pair iff they
+    share a verbatim run >= min_match.
+
+    Relational form: enumerate all k-grams with positions, join on gram
+    equality, then gaps-and-islands per (pair, diagonal pa-pb) — a run of
+    ``cnt`` consecutive shared k-grams on one diagonal is a shared run of
+    ``cnt + k_gram - 1`` characters.  Exact for ASCII text (byte == char).
+    The Spark operator computes the same pair set via winnowing anchors +
+    per-group suffix arrays (operators/suffix.py) — different algorithm,
+    identical answer, which is the point of the gate.
+    """
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT doc_id, i AS pos, substr(text, i, {k_gram}) AS g
+  FROM docs, UNNEST(RANGE(1, LENGTH(text) - {k_gram} + 2)) AS t(i)
+),
+hits AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT src, dst, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY src, dst, pa - pb ORDER BY pa) AS grp,
+         pa - pb AS diag
+  FROM hits
+),
+isl AS (
+  SELECT src, dst, diag, grp, COUNT(*) AS cnt FROM runs GROUP BY src, dst, diag, grp
+)
+SELECT src, dst FROM isl
+GROUP BY src, dst HAVING MAX(cnt + {k_gram} - 1) >= {min_match}
 """.strip()
 
 

@@ -5,11 +5,16 @@ prepare.rs:27-65`: read → resize 80×80 → flatten to u8 vec → store) as
 Spark-native plumbing: `binaryFile` source → `mapInPandas` decode/feature
 stage → fixed-width feature vectors ready for the SRP/L2 LSH path.
 
-The container has no image/audio codecs, so the decode kernels are STUBS:
-``decode="fake"`` produces a deterministic byte-histogram feature (real
-Spark plumbing — schema, Arrow batching, partitioning — fully exercised and
-tested); ``decode="real"`` raises NotImplementedError where Pillow/ffmpeg
-would be called.  Swapping in a real decoder changes only `_decode_one`.
+Decode modes:
+* ``decode="real"`` — a real decoder: uncompressed P6 PPM is parsed natively
+  (pure NumPy, no codec needed), any other format goes through Pillow when
+  importable (detected at runtime), else NotImplementedError.  The feature
+  is the reference's prepare step at 8×8: grayscale, block-mean downsample,
+  flatten to FEATURE_DIM=64, L1-normalize (`prepare.rs:27-65` resizes to
+  80×80 and flattens the same way).
+* ``decode="fake"`` — deterministic byte-histogram stand-in for formats the
+  container cannot decode; keeps every piece of Spark plumbing (schema,
+  Arrow batching, partitioning) identical to the real path.
 """
 
 from __future__ import annotations
@@ -49,10 +54,70 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
     )
 
 
+try:  # runtime codec detection: Pillow is optional, never required
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover - absent in this container
+    _PIL_Image = None
+
+_GRID = 8  # 8×8 grayscale = FEATURE_DIM features
+
+
+def _decode_ppm(content: bytes) -> np.ndarray | None:
+    """Parse binary P6 PPM (pure NumPy) → (h, w) float grayscale, or None."""
+    if not content.startswith(b"P6"):
+        return None
+    # header: P6 <ws> width <ws> height <ws> maxval <single-ws> raster
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(content):
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to end of line
+            while i < len(content) and content[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        fields.append(int(content[i:j]))
+        i = j
+    i += 1  # single whitespace before raster
+    w, h, maxval = fields
+    raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
+    rgb = raster.reshape(h, w, 3).astype(np.float64) / maxval
+    return rgb @ np.array([0.299, 0.587, 0.114])  # Rec.601 luma
+
+
+def _gray_to_feature(gray: np.ndarray) -> np.ndarray:
+    """(h, w) grayscale → block-mean 8×8 → flatten → L1-normalize."""
+    h, w = gray.shape
+    ys = (np.arange(_GRID + 1) * h) // _GRID
+    xs = (np.arange(_GRID + 1) * w) // _GRID
+    out = np.empty((_GRID, _GRID), dtype=np.float32)
+    for r in range(_GRID):
+        for c in range(_GRID):
+            block = gray[ys[r] : max(ys[r + 1], ys[r] + 1),
+                         xs[c] : max(xs[c + 1], xs[c] + 1)]
+            out[r, c] = block.mean()
+    flat = out.reshape(-1)
+    s = flat.sum()
+    return flat / (s if s else 1.0)
+
+
 def _decode_one(content: bytes, decode: str) -> np.ndarray:
     if decode == "real":
+        content = content or b""
+        gray = _decode_ppm(content)
+        if gray is not None:
+            return _gray_to_feature(gray)
+        if _PIL_Image is not None:
+            import io
+
+            img = _PIL_Image.open(io.BytesIO(content)).convert("L")
+            return _gray_to_feature(np.asarray(img, dtype=np.float64) / 255.0)
         raise NotImplementedError(
-            "no image/audio codecs in this container — plug Pillow/ffmpeg here"
+            "decode='real' handles P6 PPM natively; other formats need "
+            "Pillow (not installed in this container)"
         )
     # deterministic fake: L1-normalized byte histogram folded to FEATURE_DIM
     arr = np.frombuffer(content or b"\x00", dtype=np.uint8)

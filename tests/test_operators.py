@@ -146,9 +146,46 @@ def test_multimodal_feature_plumbing(spark):
     assert all(len(r.feature) == MM.FEATURE_DIM for r in rows)
     s = sum(rows[0].feature)
     assert abs(s - 1.0) < 1e-5  # L1 normalized
-    # real decode path is an explicit stub
-    with pytest.raises(Exception):
-        MM.extract_features(df, decode="real").collect()
+    # non-image bytes on the real path: PPM parse fails and Pillow is
+    # absent in this container → explicit NotImplementedError, not garbage
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception):
+            MM.extract_features(df, decode="real").collect()
+
+
+def _make_ppm(w: int, h: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + raster.tobytes()
+
+
+def test_multimodal_real_decode_ppm(spark):
+    """decode='real' genuinely decodes P6 PPM images (pure NumPy, no codec):
+    same image at different sizes → near-identical features; different
+    image → different features."""
+    from lsh_rs_spark.sources import multimodal as MM
+
+    # dims divisible by the 8x8 grid so the 2x-upscale check is exact
+    img_a = _make_ppm(40, 32, seed=1)
+    img_b = _make_ppm(40, 32, seed=2)
+    rows = [("a.ppm", len(img_a), img_a), ("b.ppm", len(img_b), img_b)]
+    df = spark.createDataFrame(rows, ["path", "n_bytes", "content"])
+    feats = {r.path: np.array(r.feature) for r in
+             MM.extract_features(df, decode="real").collect()}
+    assert len(feats) == 2
+    assert all(len(v) == MM.FEATURE_DIM for v in feats.values())
+    assert abs(feats["a.ppm"].sum() - 1.0) < 1e-5
+    assert not np.allclose(feats["a.ppm"], feats["b.ppm"])
+    # kernel-level: 2x block-upscaled image keeps the same block means
+    gray = MM._decode_ppm(img_a)
+    up = np.kron(gray, np.ones((2, 2)))
+    np.testing.assert_allclose(
+        MM._gray_to_feature(gray), MM._gray_to_feature(up), rtol=1e-5
+    )
+    # comment + whitespace header variants parse identically
+    assert MM._decode_ppm(b"P6 40 32 255\n" + img_a.split(b"255\n", 1)[1]) is not None
 
 
 def test_streaming_ingest_matches_batch(spark, tmp_path):
@@ -243,3 +280,36 @@ def test_substring_two_phase_matches_single_phase(spark):
     assert s2  # the planted span collides
     for k, v in s2.items():
         assert s1[k] == v
+
+
+def test_candidate_bound_caps_per_query(spark):
+    """candidate_bound keeps the top-n_collisions candidates per query and
+    never changes results when the bound exceeds the candidate count."""
+    from lsh_rs_spark.config import DedupConfig
+    from lsh_rs_spark.operators import lsh as L
+    from lsh_rs_spark.operators import topk as TK
+
+    rows = [
+        (1, 10, 5), (1, 11, 4), (1, 12, 3), (1, 13, 2), (1, 14, 1),
+        (2, 20, 1), (2, 21, 1),
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id: long, doc_id: long, n_collisions: long"
+    )
+    capped = TK.candidate_bound(cand, 3)
+    got = {(r.query_id, r.doc_id) for r in capped.collect()}
+    assert got == {(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)}
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i % 4}") for i in range(20)],
+        "doc_id: long, text: string",
+    )
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4, hash_family="xxhash64")
+    sig = L.signatures(docs, cfg).cache()
+    buckets = L.explode_bands(sig, cfg)
+    q = sig.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("query_id"), "shingles", "minhash"
+    )
+    unbounded = TK.knn(q, sig, buckets, 3, cfg).collect()
+    bounded = TK.knn(q, sig, buckets, 3, cfg, bound=1000).collect()
+    assert sorted(map(tuple, unbounded)) == sorted(map(tuple, bounded))

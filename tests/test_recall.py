@@ -132,3 +132,47 @@ def test_boilerplate_hot_bucket_is_guarded(spark, corpus):
     # the shared template forms one bucket per band larger than the cap
     assert dropped.count() >= cfg.bands
     assert dropped.agg(F.max("bucket_size")).first()[0] >= 10
+
+
+def test_embedding_near_dup_lsh_recall_on_planted_dups(spark):
+    """SRP-bucketed embedding near-dup recovers planted high-cosine twins.
+
+    Planted pairs at cos >= 0.95: S-curve for 16 bits / 4 bands gives
+    per-pair detection >= 0.98 (1-(1-(1-acos(.95)/pi)^4)^4); assert >= 0.9
+    over 40 planted pairs to keep the test deterministic-seeded but slack.
+    """
+    import numpy as np
+
+    from lsh_rs_spark.config import SRPConfig
+    from lsh_rs_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_base, n_dup = 64, 200, 40
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # twins: tiny perturbation — noise norm ≈ 0.03·√64 = 0.24 against a
+    # unit signal → cosine ≈ 0.97
+    twins = base[:n_dup] + 0.03 * rng.standard_normal((n_dup, dim))
+    twins /= np.linalg.norm(twins, axis=1, keepdims=True)
+    X = np.concatenate([base, twins])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cfg = SRPConfig(n_bits=16, bands=4, dim=dim, seed=42)
+
+    got = {
+        (r.src, r.dst)
+        for r in embedding_near_dup_lsh(emb, cfg, 0.9, use_udf=True).collect()
+    }
+    truth = {
+        (r.src, r.dst)
+        for r in embedding_near_dup_pairs(emb, 0.9).collect()
+    }
+    planted = {(i, n_base + i) for i in range(n_dup)} & truth
+    assert len(planted) >= 30  # most twins are above the 0.9 bar
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"embedding near-dup recall {recall}"
+    # precision is exact by construction (cosine verify): no false edges
+    assert got <= truth
