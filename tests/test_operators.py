@@ -313,3 +313,25 @@ def test_candidate_bound_caps_per_query(spark):
     unbounded = TK.knn(q, sig, buckets, 3, cfg).collect()
     bounded = TK.knn(q, sig, buckets, 3, cfg, bound=1000).collect()
     assert sorted(map(tuple, unbounded)) == sorted(map(tuple, bounded))
+
+
+def test_synth_embeddings_deterministic_and_twinned(spark):
+    from lsh_rs_spark.sources.embeddings import synth_embeddings
+
+    a = synth_embeddings(spark, 500, partitions=4).collect()
+    b = synth_embeddings(spark, 500, partitions=13).collect()  # repartition-proof
+    am = {r.vec_id: r.embedding for r in a}
+    bm = {r.vec_id: r.embedding for r in b}
+    assert am.keys() == bm.keys()
+    assert all(am[k] == bm[k] for k in am)
+    twins = [r for r in a if r.is_twin]
+    assert 20 <= len(twins) <= 90  # ~10% twin rate
+    base = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in a}
+    cosines = []
+    for t in twins:
+        u, v = base[t.twin_of], np.array(t.embedding, dtype=np.float64)
+        cosines.append(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+    assert np.mean(cosines) > 0.9  # planted twins are genuine near-dups
+    # base vectors are roughly standard gaussian
+    v0 = base[0]
+    assert abs(v0.mean()) < 0.5 and 0.5 < v0.std() < 1.5

@@ -24,6 +24,7 @@ from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids  # noqa: 
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("PROFILE_PAGES", "50000"))
+PARTS = int(os.environ.get("PROFILE_PARTS", str(CPUS)))
 
 
 def main() -> None:
@@ -55,17 +56,14 @@ def main() -> None:
     L.signatures(warm, cfg).count()
     warm.unpersist()
 
-    docs = with_doc_ids(synth_webpages(spark, N_PAGES, partitions=CPUS * 2)).persist()
+    docs = with_doc_ids(synth_webpages(spark, N_PAGES, partitions=PARTS)).persist()
     timed("materialize_pages", docs.count)
 
-    exact = (
-        docs.where(F.col("text").isNotNull())
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("rep_id"), F.collect_list("doc_id").alias("ms"))
-        .select("rep_id", F.explode("ms").alias("doc_id"))
-        .where(F.col("doc_id") != F.col("rep_id"))
+    from lsh_rs_spark.operators.dedup import exact_dup_edges
+    exact = timed(
+        "exact_groups+lckpt",
+        lambda: exact_dup_edges(docs).localCheckpoint(eager=True),
     )
-    exact = timed("exact_groups+lckpt", lambda: exact.localCheckpoint(eager=True))
 
     lsh_docs = docs.join(exact.select("doc_id"), "doc_id", "left_anti")
     sig = L.signatures(lsh_docs, cfg).persist()
