@@ -123,6 +123,45 @@ class SrpLSH:
         )
 
 
+class MipsLSH:
+    """Maximum-inner-product family (≙ `LshMips`,
+    `lsh-py/src/lib.rs:440-485`; transform `lsh-rs/src/hash.rs:137-237`).
+
+    ``fit`` learns the max-norm M from the corpus (reference ``fit``,
+    `hash.rs:163-173`) and indexes the asymmetric put-transformed vectors;
+    ``predict`` probes with the query transform and re-ranks candidates by
+    exact inner product."""
+
+    def __init__(self, cfg=None):
+        from lsh_rs_spark.config import MIPSConfig
+
+        self.cfg = cfg or MIPSConfig()
+        self._corpus: DataFrame | None = None
+        self.M: float | None = None
+
+    def fit(self, emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "MipsLSH":
+        from lsh_rs_spark.functions.mips import mips_fit
+
+        self._corpus = emb
+        self._id, self._vec = id_col, vec_col
+        self.M = mips_fit(emb, vec_col, self.cfg.dim)
+        return self
+
+    def predict(self, queries: DataFrame, top_k: int = 5) -> DataFrame:
+        """(query_id, neighbor_id, distance, rank); distance = -dot so that
+        smaller = better, consistent with the other families."""
+        from lsh_rs_spark.operators.mips_ops import mips_topk
+
+        if self.M is None:
+            raise RuntimeError("call fit() first")
+        res = mips_topk(
+            queries, self._corpus, self.cfg, top_k, self.M, self._id, self._vec
+        )
+        return res.select(
+            "query_id", "neighbor_id", (-F.col("dot")).alias("distance"), "rank"
+        )
+
+
 class L2LSH:
     """Euclidean family (≙ `LshL2`, `lsh-py/src/lib.rs:325-368`)."""
 

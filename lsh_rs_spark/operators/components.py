@@ -100,6 +100,87 @@ def connected_components(
     return labels.select("doc_id", "cluster_id")
 
 
+def connected_components_star(
+    edges: DataFrame, max_iters: int = 40, strict: bool = True
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log n) rounds regardless of component
+    diameter, where hash-min label propagation needs O(diameter) rounds.
+
+    Use this for graphs that may contain long chains (e.g. boilerplate
+    near-dup chains at web scale); output is identical to
+    ``connected_components`` (min doc_id per component).
+
+    Each round (2 shuffles, same per-round cost as hash-min):
+      large-star: for each node u, neighbors v > u re-attach to min(N(u)∪u)
+      small-star: for each node u, neighbors v <= u (and u) attach to the min
+    The edge list contracts toward a star around each component minimum;
+    converged when the edge set is stable (every edge already points at the
+    component min).
+    """
+    # canonicalize to (hi, lo) parent pointers: a < b means b points at a
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    connected_components_star.last_converged_in = None
+    for it in range(max_iters):
+        # large-star: group by u over BOTH directions, attach larger
+        # neighbors to the minimum of the neighborhood (including u)
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("mn"))
+        large = (
+            nbrs.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        # small-star: group by u over edges where v <= u (original
+        # direction), attach u and its small neighbors to the minimum
+        sm = e.groupBy("u").agg(F.min("v").alias("mn"))
+        small_self = sm.select(F.col("u"), F.col("mn").alias("v"))
+        small_nbrs = (
+            e.join(sm, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        new_e = (
+            large.unionByName(small_self)
+            .unionByName(small_nbrs)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            connected_components_star.last_converged_in = it + 1
+            break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_iters} rounds"
+            )
+    # converged: every u points directly at its component min
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    mins = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return labels.unionByName(mins).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
 def with_singletons(labels: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Every doc gets a cluster id; docs absent from the edge graph are their
     own singleton cluster."""

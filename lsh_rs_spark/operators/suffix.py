@@ -129,9 +129,17 @@ def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
     # doc i emitted false pairs (doc i "matching" whatever run docs i+1 and
     # i+2 genuinely share, e.g. aligned snippet prefixes of a true dup pair).
     owner_of = np.full(len(blob), -1, dtype=np.int64)
+    # text_end_of[p] = end offset of the text region containing p (p itself
+    # for separator bytes) — used to CLAMP each LCP at its document's end.
+    # Without the clamp, two matches that both end exactly at their doc ends
+    # extend one byte into the shared leading '\x00' of the separators,
+    # overcounting match_len by 1 and emitting false pairs at the threshold
+    # boundary (caught by tests/test_suffix_property.py).
+    text_end_of = np.arange(len(blob), dtype=np.int64)
     pos = 0
     for idx, t in enumerate(texts):
         owner_of[pos : pos + len(t)] = idx
+        text_end_of[pos : pos + len(t)] = pos + len(t)
         pos += len(t) + 6
     sa = _suffix_array_bytes(blob)
     out: dict[tuple[int, int], int] = {}
@@ -152,6 +160,8 @@ def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
     # minimum (adjacent-only scanning misses non-adjacent pairs when a
     # third copy interleaves between them in suffix order).
     lcp = _adjacent_lcps(blob, sa)
+    rem = text_end_of[sa] - sa  # valid text bytes remaining per suffix
+    np.minimum(lcp, np.minimum(rem[:-1], rem[1:]), out=lcp)
     x = 0
     n_l = len(lcp)
     while x < n_l:

@@ -135,3 +135,27 @@ def test_tuning_grid_search(spark, rand_emb):
     assert all(x.k * x.l <= 63 for x in srp_res)
     pick = best_params(l2_res, n_total=10_000, n_sample=70)
     assert pick in l2_res
+
+
+def test_mips_api_finds_max_inner_product(spark):
+    """MipsLSH fit/predict: the top-1 neighbor by inner product is found
+    (planted: one vector with a big norm in the query's direction)."""
+    from lsh_rs_spark.api import MipsLSH
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((100, 64))
+    q = rng.standard_normal(64)
+    X[7] = 3.0 * q / np.linalg.norm(q)  # max-dot vector for query q
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(100)],
+        "vec_id: long, embedding: array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1000, [float(x) for x in q])], "vec_id: long, embedding: array<float>"
+    )
+    model = MipsLSH().fit(emb)
+    assert model.M > 2.9  # fit found the planted big norm
+    res = model.predict(queries, top_k=3).collect()
+    top = [r for r in res if r.rank == 1]
+    assert top and top[0].neighbor_id == 7
+    assert top[0].distance < 0  # distance = -dot, planted dot > 0

@@ -200,3 +200,36 @@ def test_salted_hot_bucket_recovery(spark):
     assert 0 < n < full  # partial, bounded recovery
     # every recovered pair is a genuine same-bucket pair
     assert salted.where("src >= dst").count() == 0
+
+
+def test_star_cc_matches_hashmin_and_handles_long_chains(spark):
+    """large-star/small-star CC: identical labels to hash-min on a normal
+    graph, and converges on a chain whose diameter exceeds hash-min's
+    default iteration budget (the silent-divergence case ADVICE flagged)."""
+    import pytest as _pytest
+
+    from lsh_rs_spark.operators import components as CC
+
+    # random-ish small graph: several components incl. a 40-node chain
+    chain = [(i, i + 1) for i in range(100, 140)]
+    blobs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    edges = spark.createDataFrame(chain + blobs, "src: long, dst: long")
+
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in CC.connected_components_star(edges).collect()
+    }
+    # hash-min with enough iterations agrees exactly
+    hm = {
+        (r.doc_id, r.cluster_id)
+        for r in CC.connected_components(edges, max_iters=60).collect()
+    }
+    assert star == hm
+    # all chain nodes got the chain minimum
+    assert {(i, 100) for i in range(100, 141)} <= star
+    # hash-min with a too-small budget now raises instead of silently
+    # returning wrong labels
+    with _pytest.raises(RuntimeError):
+        CC.connected_components(edges, max_iters=5, strict=True)
+    # star converges in O(log n) rounds — far fewer than the 40-hop diameter
+    assert CC.connected_components_star.last_converged_in <= 12

@@ -1,0 +1,76 @@
+"""Property-based hardening of the suffix-array pair kernel.
+
+Round 2 found (and fixed) a separator-owner bug in `_find_pairs_in_group`
+that emitted false pairs; this test pins the kernel against an O(n·m) DP
+longest-common-run oracle on randomized inputs so the class of bug cannot
+come back.
+
+Properties:
+  1. pair detection is EXACT: (a, b) emitted ⟺ true LCS(a, b) >= min_match
+  2. match_len never exceeds the true LCS (the kernel reports a genuinely
+     shared run) and is always >= min_match when emitted
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from lsh_rs_spark.operators.suffix import _find_pairs_in_group
+
+MIN_MATCH = 12
+
+
+def _lcs_run(a: bytes, b: bytes) -> int:
+    """Longest common substring (byte run) via DP, O(n·m)."""
+    if not a or not b:
+        return 0
+    prev = np.zeros(len(b) + 1, dtype=np.int32)
+    best = 0
+    bb = np.frombuffer(b, dtype=np.uint8)
+    for i in range(1, len(a) + 1):
+        cur = np.zeros(len(b) + 1, dtype=np.int32)
+        eq = bb == a[i - 1]
+        cur[1:] = np.where(eq, prev[:-1] + 1, 0)
+        best = max(best, int(cur.max()))
+        prev = cur
+    return best
+
+
+@st.composite
+def doc_groups(draw):
+    """3-6 short docs over a tiny alphabet, some sharing planted runs."""
+    n = draw(st.integers(3, 6))
+    alphabet = "abc"
+    docs = [
+        draw(st.text(alphabet=alphabet, min_size=5, max_size=60)) for _ in range(n)
+    ]
+    # plant a shared run into a random subset (possibly none)
+    if draw(st.booleans()):
+        run = draw(st.text(alphabet="xyz", min_size=MIN_MATCH, max_size=25))
+        members = draw(
+            st.lists(st.integers(0, n - 1), min_size=2, max_size=n, unique=True)
+        )
+        for m in members:
+            pos = draw(st.integers(0, len(docs[m])))
+            docs[m] = docs[m][:pos] + run + docs[m][pos:]
+    return docs
+
+
+@given(doc_groups())
+@settings(max_examples=120, deadline=None)
+def test_pair_kernel_matches_dp_oracle(docs):
+    g = pd.DataFrame({"doc_id": list(range(len(docs))), "snippet": docs})
+    res = _find_pairs_in_group(g, MIN_MATCH)
+    got = {(int(r.src), int(r.dst)): int(r.match_len) for r in res.itertuples()}
+
+    raw = [d.encode() for d in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            true_l = _lcs_run(raw[i], raw[j])
+            if true_l >= MIN_MATCH:
+                assert (i, j) in got, (docs[i], docs[j], true_l)
+                assert MIN_MATCH <= got[(i, j)] <= true_l
+            else:
+                assert (i, j) not in got, (docs[i], docs[j], true_l, got.get((i, j)))
