@@ -7,7 +7,7 @@ north rule requires (banding, skew-guarded pairing, exact verify, connected
 components, substring dedup, checkpoint/resume).
 """
 
-from lsh_rs_spark.config import DedupConfig, SimHashConfig, SRPConfig
+from lsh_rs_spark.config import DedupConfig, MIPSConfig, SimHashConfig, SRPConfig
 
-__all__ = ["DedupConfig", "SimHashConfig", "SRPConfig"]
-__version__ = "0.1.0"
+__all__ = ["DedupConfig", "MIPSConfig", "SimHashConfig", "SRPConfig"]
+__version__ = "0.2.0"

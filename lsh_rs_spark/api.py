@@ -69,10 +69,17 @@ class MinHashLSH:
 
     def dedup(self, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         """Full clustering: (doc_id, cluster_id, is_representative)."""
+        from lsh_rs_spark.operators.components import connected_components_star
+
         self.fit(docs, id_col=id_col)
         pairs = L.candidate_pairs(self._buckets, self.cfg)
         edges = V.jaccard_edges(pairs, self._sig, self.cfg)
-        comps = connected_components(edges, self.cfg.cc_max_iters)
+        cc_fn = (
+            connected_components_star
+            if self.cfg.cc_algorithm == "star"
+            else connected_components
+        )
+        comps = cc_fn(edges, self.cfg.cc_max_iters)
         return dedup_representatives(with_singletons(comps, self._sig))
 
     def bucket_stats(self) -> DataFrame:

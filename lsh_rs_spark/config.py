@@ -65,6 +65,12 @@ class DedupConfig:
     max_bucket_size: int = 2000       # skew guard: buckets larger than this
                                       # are dropped (counted, never silent)
     cc_max_iters: int = 25
+    cc_algorithm: str = "hashmin"     # "hashmin": O(diameter) rounds, cheapest
+                                      # for the shallow clusters near-dup
+                                      # graphs produce; "star": large-star/
+                                      # small-star, O(log n) rounds — pick for
+                                      # graphs that may contain long chains
+                                      # (identical labels either way)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
@@ -78,6 +84,8 @@ class DedupConfig:
             raise ValueError(f"shingle_mode must be one of {SHINGLE_MODES}")
         if self.minhash_mode not in ("kperm", "oph"):
             raise ValueError("minhash_mode must be 'kperm' or 'oph'")
+        if self.cc_algorithm not in ("hashmin", "star"):
+            raise ValueError("cc_algorithm must be 'hashmin' or 'star'")
 
     @property
     def threshold_estimate(self) -> float:

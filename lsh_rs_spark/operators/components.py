@@ -128,29 +128,60 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Spark 4.1's UnionBase.rewriteConstraints can fail ("key not found:
+    # v#...") when a union branch carries a filter constraint on an
+    # attribute its projection renamed away — exactly the star-contraction
+    # shape below.  Constraint propagation buys nothing here (every round
+    # is checkpoint → union → distinct), so disable it for the loop and
+    # restore the caller's setting after.
+    spark = edges.sparkSession
+    _cp_key = "spark.sql.constraintPropagation.enabled"
+    _cp_prev = spark.conf.get(_cp_key, "true")
+    spark.conf.set(_cp_key, "false")
+    try:
+        return _star_loop(e, max_iters, strict)
+    finally:
+        spark.conf.set(_cp_key, _cp_prev)
+
+
+def _star_loop(e: DataFrame, max_iters: int, strict: bool) -> DataFrame:
     connected_components_star.last_converged_in = None
     for it in range(max_iters):
         # large-star: group by u over BOTH directions, attach larger
-        # neighbors to the minimum of the neighborhood (including u)
+        # neighbors to the minimum of the neighborhood (including u).
+        # Aggregate sides get disjoint column names (_mu/_mn, _su/_smn):
+        # both derive from `e`, and a USING-style self-join on shared names
+        # trips Catalyst attribute dedup under localCheckpoint (observed
+        # "key not found: v#..." plan failures).
         nbrs = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
-        m = m.select("u", F.least("u", "mn").alias("mn"))
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mnv"))
+            .select(
+                F.col("u").alias("_mu"),
+                F.least(F.col("u"), F.col("_mnv")).alias("_mn"),
+            )
+        )
         large = (
-            nbrs.join(m, "u")
+            nbrs.join(m, F.col("u") == F.col("_mu"))
             .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
             .where(F.col("u") != F.col("v"))
         )
         # small-star: group by u over edges where v <= u (original
         # direction), attach u and its small neighbors to the minimum
-        sm = e.groupBy("u").agg(F.min("v").alias("mn"))
-        small_self = sm.select(F.col("u"), F.col("mn").alias("v"))
+        sm = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("_mnv"))
+            .select(F.col("u").alias("_su"), F.col("_mnv").alias("_smn"))
+        )
+        small_self = sm.select(F.col("_su").alias("u"), F.col("_smn").alias("v"))
         small_nbrs = (
-            e.join(sm, "u")
-            .where(F.col("v") != F.col("mn"))
-            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            e.join(sm, F.col("u") == F.col("_su"))
+            .where(F.col("v") != F.col("_smn"))
+            .select(F.col("v").alias("u"), F.col("_smn").alias("v"))
         )
         new_e = (
             large.unionByName(small_self)

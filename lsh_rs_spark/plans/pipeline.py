@@ -145,9 +145,14 @@ class DedupPipeline:
                 )
             return e
 
+        cc_fn = (
+            CC.connected_components_star
+            if cfg.cc_algorithm == "star"
+            else CC.connected_components
+        )
         comps = self._stage(
             "components",
-            lambda: CC.connected_components(all_edges(), cfg.cc_max_iters),
+            lambda: cc_fn(all_edges(), cfg.cc_max_iters),
             ("edges", "exact_groups"),
             resume,
         )

@@ -233,3 +233,27 @@ def test_star_cc_matches_hashmin_and_handles_long_chains(spark):
         CC.connected_components(edges, max_iters=5, strict=True)
     # star converges in O(log n) rounds — far fewer than the 40-hop diameter
     assert CC.connected_components_star.last_converged_in <= 12
+
+
+def test_cc_algorithm_knob(spark):
+    """cfg.cc_algorithm selects the CC implementation; labels identical."""
+    import pytest as _pytest
+
+    from lsh_rs_spark.api import MinHashLSH
+    from lsh_rs_spark.config import DedupConfig
+
+    with _pytest.raises(ValueError):
+        DedupConfig(cc_algorithm="bogus")
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + ("x" if i % 2 else "y"))
+         for i in range(12)],
+        "doc_id: long, text: string",
+    )
+    base = dict(num_perm=16, bands=4, rows_per_band=4,
+                hash_family="xxhash64", jaccard_threshold=0.5)
+    a = {(r.doc_id, r.cluster_id) for r in
+         MinHashLSH(DedupConfig(**base, cc_algorithm="hashmin")).dedup(docs).select("doc_id", "cluster_id").collect()}
+    b = {(r.doc_id, r.cluster_id) for r in
+         MinHashLSH(DedupConfig(**base, cc_algorithm="star")).dedup(docs).select("doc_id", "cluster_id").collect()}
+    assert a == b and len(a) == 12
