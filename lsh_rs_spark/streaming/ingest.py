@@ -62,6 +62,86 @@ def stream_exact_dedup(pages: DataFrame, delay: str = "10 minutes") -> DataFrame
     )
 
 
+def start_incremental_dedup(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    workdir: str,
+    trigger_available_now: bool = True,
+):
+    """Incremental near-dup detection: the reference's `store_vec` + query
+    lifecycle (`lsh-rs/src/lsh/lsh.rs:434-445`) as a streaming job.
+
+    Per micro-batch (foreachBatch, so the batch operators are reused
+    verbatim):
+      1. sign + band the new docs (same broadcast params as batch),
+      2. probe the ACCUMULATED bucket store with the new docs' band keys —
+         candidate pairs are (new × all-so-far), never all × all,
+      3. exact-verify (Jaccard) and append edges to ``{workdir}/edges``,
+      4. append the new bucket rows to ``{workdir}/buckets``.
+
+    The bucket store is the growing index (parquet here; Iceberg/Delta on a
+    real deployment for snapshot isolation); each batch's shuffle is
+    proportional to the batch × its collisions, so a long-running crawl
+    ingest stays O(new data) per trigger.  Batch 0 bootstraps the store.
+    Exactly-once: the streaming checkpoint replays an incomplete batch;
+    edge/bucket appends are idempotently deduped downstream by (src, dst) /
+    (band_idx, band_key, doc_id) — same contract as the batch StageStore.
+    """
+    import os
+
+    from lsh_rs_spark.operators.lsh import pairs_from_buckets
+    from lsh_rs_spark.operators.verify import jaccard_edges
+
+    buckets_dir = f"{workdir}/buckets"
+    edges_dir = f"{workdir}/edges"
+    sig_dir = f"{workdir}/signatures"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig = signatures(batch_df, cfg).persist()
+        new_buckets = explode_bands(sig, cfg).persist()
+        have_store = os.path.exists(buckets_dir)
+        if have_store:
+            store = spark.read.parquet(buckets_dir)
+            # probe: new keys vs stored keys (new×old), plus new×new pairs
+            probe = new_buckets.join(
+                store, ["band_idx", "band_key"]
+            ).select(
+                F.col("band_idx"),
+                F.col("band_key"),
+                new_buckets["doc_id"].alias("src_new"),
+                store["doc_id"].alias("dst_old"),
+            ).where(F.col("src_new") != F.col("dst_old")).select(
+                F.least("src_new", "dst_old").alias("src"),
+                F.greatest("src_new", "dst_old").alias("dst"),
+            ).distinct()
+            intra = pairs_from_buckets(
+                new_buckets, ["band_idx", "band_key"], cfg.max_bucket_size
+            )
+            pairs = probe.unionByName(intra).distinct()
+            all_sig = spark.read.parquet(sig_dir).unionByName(
+                sig.select("doc_id", "shingles")
+            )
+        else:
+            pairs = pairs_from_buckets(
+                new_buckets, ["band_idx", "band_key"], cfg.max_bucket_size
+            )
+            all_sig = sig
+        edges = jaccard_edges(pairs, all_sig, cfg)
+        edges.write.mode("append").parquet(edges_dir)
+        new_buckets.write.mode("append").parquet(buckets_dir)
+        sig.select("doc_id", "shingles").write.mode("append").parquet(sig_dir)
+        sig.unpersist()
+        new_buckets.unpersist()
+
+    w = pages.writeStream.foreachBatch(process).option(
+        "checkpointLocation", f"{workdir}/_checkpoint"
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def start_bucket_sink(
     buckets: DataFrame, out_path: str, checkpoint: str, trigger_available_now: bool = True
 ):

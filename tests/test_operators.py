@@ -335,3 +335,47 @@ def test_synth_embeddings_deterministic_and_twinned(spark):
     # base vectors are roughly standard gaussian
     v0 = base[0]
     assert abs(v0.mean()) < 0.5 and 0.5 < v0.std() < 1.5
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """foreachBatch incremental LSH dedup (store_vec lifecycle): edges
+    accumulated over 2 micro-batches == batch edges over the full corpus."""
+    from lsh_rs_spark.config import DedupConfig
+    from lsh_rs_spark.operators import lsh as L
+    from lsh_rs_spark.operators import verify as V
+    from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
+    from lsh_rs_spark.streaming import ingest as SI
+
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4,
+                      hash_family="xxhash64", jaccard_threshold=0.5)
+    pages = with_doc_ids(synth_webpages(spark, 150, partitions=2)).persist()
+    src = str(tmp_path / "src")
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    pages.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    pages.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, "
+            "lang STRING, doc_id LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = str(tmp_path / "work")
+    q = SI.start_incremental_dedup(stream, cfg, work)
+    q.awaitTermination(120)
+
+    got = {
+        (r.src, r.dst)
+        for r in spark.read.parquet(f"{work}/edges").select("src", "dst").collect()
+    }
+    sig = L.signatures(pages, cfg).persist()
+    want = {
+        (r.src, r.dst)
+        for r in V.jaccard_edges(
+            L.candidate_pairs(L.explode_bands(sig, cfg), cfg), sig, cfg
+        ).collect()
+    }
+    assert want, "corpus must contain planted near-dups"
+    assert got == want
