@@ -139,6 +139,34 @@ def q_knn_text_topk(spark, sf_dir):
     return TK.knn(queries, sig, L.explode_bands(sig, CFG), KNN_K, CFG)
 
 
+def q_knn_text_topk_bounded(spark, sf_dir):
+    # candidate-bound pre-slice (reference QUERY_L_FACT_UPPER_BOUND take):
+    # only the 3 most-promising candidates per query reach the exact re-rank
+    sig = _sig(spark, sf_dir)
+    queries = sig.where(F.col("doc_id") % KNN_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "shingles", "minhash"
+    )
+    return TK.knn(queries, sig, L.explode_bands(sig, CFG), KNN_K, CFG, bound=3)
+
+
+def q_exact_dup_edges(spark, sf_dir):
+    # scale form of exact dedup (md5 shuffle key + rep join-back); the
+    # documents table has no byte-identical twins at sf0.01, so the gate
+    # doubles the corpus deterministically (doc_id + 10^6 twins) — every
+    # doc must resolve to its twin's representative
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return DD.exact_dup_edges(doubled)
+
+
+def q_dup_components_star(spark, sf_dir):
+    # same transitive closure, computed by large-star/small-star instead of
+    # hash-min — both gated against the identical recursive-CTE oracle
+    return CC.connected_components_star(_edges(spark, sf_dir))
+
+
 def q_simhash_signatures(spark, sf_dir):
     return SH.simhash_sketches(_docs(spark, sf_dir), SIM, use_udf=True)
 
@@ -285,6 +313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "knn_text_topk": q_knn_text_topk,
+        "knn_text_topk_bounded": q_knn_text_topk_bounded,
+        "exact_dup_edges": q_exact_dup_edges,
+        "dup_components_star": q_dup_components_star,
         "simhash_signatures": q_simhash_signatures,
         "simhash_pairs": q_simhash_pairs,
         "token_counts": q_token_counts,
@@ -317,6 +348,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": O.q_dup_clusters(CFG),
         "dedup_keep_list": O.q_dedup_keep_list(CFG),
         "knn_text_topk": O.q_knn_text_topk(CFG, KNN_QUERY_MOD, KNN_K),
+        "knn_text_topk_bounded": O.q_knn_text_topk_bounded(
+            CFG, KNN_QUERY_MOD, KNN_K, bound=3
+        ),
+        "exact_dup_edges": O.q_exact_dup_edges(),
+        "dup_components_star": O.q_components(CFG),
         "simhash_signatures": O.q_simhash_signatures(SIM),
         "simhash_pairs": O.q_simhash_pairs(SIM),
         "token_counts": O.q_token_counts(),

@@ -176,27 +176,32 @@ def main() -> None:
         return round(hit / total, 4) if total else None
 
     def twin_recall():
-        semb = synth_embeddings(
-            spark, max(2_000, int(20_000 * SF)), partitions=CPUS
-        ).persist()
-        twins = semb.where(F.col("is_twin"))
+        # fixed-size eval corpus: recall is a quality gate, not a
+        # throughput number — no reason to scale it with SF
+        semb = synth_embeddings(spark, 5_000, partitions=CPUS).persist()
+        twins = semb.where(F.col("is_twin")).persist()
         n_twins = twins.count()
-        found = (
-            ANN.ann_topk(twins, semb, ORACLE_SRP, k=1)
-            .join(
-                twins.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("twin_of").alias("neighbor_id"),
-                ),
-                ["query_id", "neighbor_id"],
-                "left_semi",
-            )
-            .count()
-        )
-        semb.unpersist()
-        return round(found / n_twins, 4) if n_twins else None
+        truth = twins.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("twin_of").alias("neighbor_id"),
+        ).persist()
 
-    extras["ann_twin_recall_at_1"] = timed("ann_twin_recall", twin_recall)
+        def hits(approx_df):
+            return approx_df.join(
+                truth, ["query_id", "neighbor_id"], "left_semi"
+            ).count()
+
+        srp = hits(ANN.ann_topk(twins, semb, ORACLE_SRP, k=1))
+        ivf = hits(IVF.ivf_topk(twins, semb, n_lists=32, nprobe=8, k=1))
+        semb.unpersist(), twins.unpersist(), truth.unpersist()
+        if not n_twins:
+            return None, None
+        return round(srp / n_twins, 4), round(ivf / n_twins, 4)
+
+    (
+        extras["ann_twin_recall_at_1"],
+        extras["ivf_twin_recall_at_1"],
+    ) = timed("ann_twin_recall", twin_recall)
     exact10 = ANN.brute_force_topk(queries, emb, k=10).persist()
     extras["ann_srp_recall_at_10_unstructured"] = recall_at_k(
         ANN.ann_topk(queries, emb, ORACLE_SRP, k=10), exact10

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from lsh_rs_spark.functions.vectors import cosine_sim
+from lsh_rs_spark.functions.vectors import cosine_sim, dot, l2_norm
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -79,12 +79,18 @@ def embedding_near_dup_lsh(
 
     sk = srp_sketches(emb, srp_cfg, id_col, vec_col, use_udf=use_udf)
     pairs = srp_candidate_pairs(sk, srp_cfg, max_bucket_size)
-    vecs = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    vecs = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+    )
     return (
         pairs
-        .join(vecs.select(F.col("_id").alias("src"), F.col("_v").alias("va")), "src")
-        .join(vecs.select(F.col("_id").alias("dst"), F.col("_v").alias("vb")), "dst")
-        .withColumn("cos", cosine_sim("va", "vb"))
+        .join(vecs.select(F.col("_id").alias("src"), F.col("_v").alias("va"),
+                          F.col("_n").alias("na")), "src")
+        .join(vecs.select(F.col("_id").alias("dst"), F.col("_v").alias("vb"),
+                          F.col("_n").alias("nb")), "dst")
+        .withColumn("cos", dot("va", "vb") / (F.col("na") * F.col("nb")))
         .where(F.col("cos") >= threshold)
         .select("src", "dst", "cos")
     )

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from lsh_rs_spark.functions.vectors import cosine_sim
+from lsh_rs_spark.functions.vectors import dot, l2_norm
 
 
 def train_centroids(
@@ -98,14 +98,22 @@ def ivf_topk(
     )
     scored = (
         cand.join(
-            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                l2_norm(vec_col).alias("qn"),
+            ),
             "query_id",
         )
         .join(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                l2_norm(vec_col).alias("cn"),
+            ),
             "neighbor_id",
         )
-        .withColumn("cos", cosine_sim("qv", "cv"))
+        .withColumn("cos", dot("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

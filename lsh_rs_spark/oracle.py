@@ -294,6 +294,73 @@ FROM documents WHERE text IS NOT NULL
 """.strip()
 
 
+def q_exact_dup_edges() -> str:
+    """Twin of dedup.exact_dup_edges (the pipeline's scale form): one row
+    (rep_id, doc_id) per non-representative member of an identical-text
+    group.  DuckDB groups on raw text; Spark's md5 shuffle key yields the
+    same groups (128-bit collisions are ~n²/2¹²⁹)."""
+    return """
+WITH h AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE text IS NOT NULL
+),
+reps AS (
+  SELECT text, MIN(doc_id) AS rep_id, COUNT(*) AS n
+  FROM h GROUP BY text HAVING COUNT(*) >= 2
+)
+SELECT r.rep_id, h.doc_id
+FROM h JOIN reps r USING (text)
+WHERE h.doc_id <> r.rep_id
+""".strip()
+
+
+def q_knn_text_topk_bounded(
+    cfg: DedupConfig, query_mod: int = 50, k: int = 5, bound: int = 3
+) -> str:
+    """Twin of the candidate-bound query path: per query, keep only the
+    `bound` most-promising candidates (n_collisions desc, doc_id asc — the
+    reference's QUERY_L_FACT_UPPER_BOUND take, `query.rs:54-59`) before the
+    exact re-rank."""
+    return f"""
+WITH {dedup_ctes(cfg)},
+qb AS (SELECT * FROM buckets WHERE doc_id % {query_mod} = 0),
+hits AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_collisions
+  FROM qb q JOIN buckets c USING (band_idx, band_key)
+  WHERE c.doc_id <> q.doc_id
+  GROUP BY q.doc_id, c.doc_id
+),
+bounded AS (
+  SELECT query_id, doc_id, n_collisions FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY n_collisions DESC, doc_id ASC) AS cr
+    FROM hits
+  ) WHERE cr <= {bound}
+),
+kn_inter AS (
+  SELECT h.query_id, h.doc_id, COUNT(*) AS n_common
+  FROM bounded h
+  JOIN shingle_set sa ON sa.doc_id = h.query_id
+  JOIN shingle_set sb ON sb.doc_id = h.doc_id AND sb.sid = sa.sid
+  GROUP BY h.query_id, h.doc_id
+),
+scored AS (
+  SELECT h.query_id, h.doc_id, h.n_collisions,
+         COALESCE(i.n_common, 0) / (zq.n + zd.n - COALESCE(i.n_common, 0)) AS jaccard
+  FROM bounded h
+  LEFT JOIN kn_inter i ON i.query_id = h.query_id AND i.doc_id = h.doc_id
+  JOIN doc_sizes zq ON zq.doc_id = h.query_id
+  JOIN doc_sizes zd ON zd.doc_id = h.doc_id
+)
+SELECT query_id, doc_id, n_collisions, jaccard, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY jaccard DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+
+
 def q_token_counts() -> str:
     from lsh_rs_spark.functions.text import token_count_bpe_sql, token_count_ws_sql
 
