@@ -142,53 +142,82 @@ def _find_pairs_in_group(pdf: pd.DataFrame, min_match: int) -> pd.DataFrame:
         text_end_of[pos : pos + len(t)] = pos + len(t)
         pos += len(t) + 6
     sa = _suffix_array_bytes(blob)
-    out: dict[tuple[int, int], int] = {}
-
-    def emit(oi: int, oj: int, l: int) -> None:
-        if oi < 0 or oj < 0:
-            return
-        a, b = int(ids[oi]), int(ids[oj])
-        if a == b:
-            return
-        if a > b:
-            a, b = b, a
-        if out.get((a, b), 0) < l:
-            out[(a, b)] = l
 
     # adjacent LCP array, then maximal intervals with lcp >= min_match:
     # ALL owners inside an interval pairwise share a run >= the interval
     # minimum (adjacent-only scanning misses non-adjacent pairs when a
-    # third copy interleaves between them in suffix order).
+    # third copy interleaves between them in suffix order).  Fully
+    # vectorized: the former per-position Python scan + per-pair emit()
+    # dominated the kernel (millions of calls on boilerplate-heavy chunks).
     lcp = _adjacent_lcps(blob, sa)
     rem = text_end_of[sa] - sa  # valid text bytes remaining per suffix
     np.minimum(lcp, np.minimum(rem[:-1], rem[1:]), out=lcp)
-    x = 0
-    n_l = len(lcp)
-    while x < n_l:
-        if lcp[x] < min_match:
-            x += 1
-            continue
-        start = x
-        interval_min = lcp[x]
-        owners = {int(owner_of[int(sa[x])]), int(owner_of[int(sa[x + 1])])}
-        while x + 1 < n_l and lcp[x + 1] >= min_match:
-            x += 1
-            interval_min = min(interval_min, lcp[x])
-            owners.add(int(owner_of[int(sa[x + 1])]))
-        # exact value for adjacent pairs, conservative interval-min for rest
-        for y in range(start, x + 1):
-            emit(int(owner_of[int(sa[y])]), int(owner_of[int(sa[y + 1])]), lcp[y])
-        ol = sorted(owners)
-        for ii in range(len(ol)):
-            for jj in range(ii + 1, len(ol)):
-                emit(ol[ii], ol[jj], interval_min)
-        x += 1
-    if not out:
-        return pd.DataFrame({"src": [], "dst": [], "match_len": []}).astype("int64")
-    return pd.DataFrame(
-        [(k[0], k[1], v) for k, v in out.items()],
-        columns=["src", "dst", "match_len"],
+
+    empty = pd.DataFrame(
+        {
+            "src": pd.Series([], dtype="int64"),
+            "dst": pd.Series([], dtype="int64"),
+            "match_len": pd.Series([], dtype="int64"),
+        }
     )
+    idx = np.nonzero(lcp >= min_match)[0]
+    if idx.shape[0] == 0:
+        return empty
+    # interval id per qualifying position (gaps of >1 start a new interval)
+    new_run = np.diff(idx, prepend=idx[0] - 2) > 1
+    iid = np.cumsum(new_run) - 1
+    imin = np.minimum.reduceat(lcp[idx], np.nonzero(new_run)[0])
+
+    frames = []
+    # adjacent pairs: exact lcp value per qualifying position
+    o1 = owner_of[sa[idx]]
+    o2 = owner_of[sa[idx + 1]]
+    ok = (o1 >= 0) & (o2 >= 0)
+    a_ids, b_ids = ids[o1[ok]], ids[o2[ok]]
+    mask = a_ids != b_ids
+    frames.append(
+        pd.DataFrame(
+            {
+                "src": np.minimum(a_ids[mask], b_ids[mask]),
+                "dst": np.maximum(a_ids[mask], b_ids[mask]),
+                "match_len": lcp[idx][ok][mask],
+            }
+        )
+    )
+    # interval all-pairs at the interval min: members are the suffixes at
+    # positions idx and idx+1 of each run; unique (interval, owner) rows
+    # self-merged give the pairwise combinations without a Python loop
+    mem = pd.DataFrame(
+        {
+            "iid": np.concatenate([iid, iid]),
+            "o": np.concatenate([o1, o2]),
+        }
+    )
+    mem = mem[mem.o >= 0].drop_duplicates()
+    mem["doc"] = ids[mem.o.to_numpy()]
+    mem = mem.drop_duplicates(["iid", "doc"])
+    if len(mem) > 1:
+        m = mem.merge(mem, on="iid")
+        m = m[m.doc_x < m.doc_y]
+        if len(m):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src": m.doc_x.to_numpy(),
+                        "dst": m.doc_y.to_numpy(),
+                        "match_len": imin[m.iid.to_numpy()],
+                    }
+                )
+            )
+    allp = pd.concat(frames, ignore_index=True)
+    if not len(allp):
+        return empty
+    out = (
+        allp.groupby(["src", "dst"], as_index=False)["match_len"]
+        .max()
+        .astype({"src": "int64", "dst": "int64", "match_len": "int64"})
+    )
+    return out
 
 
 def winnowing_anchors(
@@ -515,18 +544,52 @@ def substring_dup_pairs(
         .where((F.size("members") >= 2) & (F.size("members") <= max_group_docs))
     )
 
+    # Chunked kernel invocation: a per-group suffix array pays ~50 NumPy
+    # calls for a ~500-byte blob (overhead-dominated — most groups have 2
+    # members).  Instead, whole groups are packed into ~64 KB chunk blobs
+    # and ONE suffix array runs per chunk.  Group atomicity is preserved
+    # (a group never splits across chunks) so every per-group pair is
+    # found; additional same-chunk cross-group pairs are genuine verified
+    # matches (snippets sharing a run >= min_match) that winnowing already
+    # guarantees a shared anchor group for — the emitted pair SET is
+    # unchanged (oracle-gated), ~10× less per-group overhead.
+    chunk_bytes = 64 << 10
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
+            ids: list[int] = []
+            snips: list[str] = []
+            seen: set = set()
+            size = 0
+
+            def flush():
+                nonlocal ids, snips, seen, size
+                if len(set(ids)) >= 2:
+                    outs.append(
+                        _find_pairs_in_group(
+                            pd.DataFrame({"doc_id": ids, "snippet": snips}),
+                            min_match,
+                        )
+                    )
+                ids, snips, seen, size = [], [], set(), 0
+
             for members in pdf["members"]:
-                g = pd.DataFrame(
-                    {
-                        "doc_id": [int(m["doc_id"]) for m in members],
-                        "snippet": [m["snippet"] for m in members],
-                    }
-                ).drop_duplicates("doc_id")
-                if len(g) >= 2:
-                    outs.append(_find_pairs_in_group(g, min_match))
+                uniq: dict = {}
+                for m in members:
+                    uniq[(int(m["doc_id"]), m["snippet"])] = None
+                if len({d for d, _ in uniq}) < 2:
+                    continue
+                g_size = sum(len(s) for _, s in uniq)
+                if size + g_size > chunk_bytes and ids:
+                    flush()
+                for key in uniq:
+                    if key not in seen:
+                        seen.add(key)
+                        ids.append(key[0])
+                        snips.append(key[1])
+                        size += len(key[1])
+            flush()
             yield (
                 pd.concat(outs, ignore_index=True)
                 if outs
