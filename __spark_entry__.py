@@ -258,6 +258,15 @@ def q_l2_buckets(spark, sf_dir):
     )
 
 
+def q_l2_knn(spark, sf_dir):
+    # L2 (E2LSH) predict path: band probe → n_collisions → exact L2 re-rank
+    from lsh_rs_spark.operators.l2_lsh import l2_knn
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return l2_knn(queries, emb, 2, 4, 64, 4.0, 42, ANN_K, use_udf=False)
+
+
 def q_mips_buckets(spark, sf_dir):
     # P3: asymmetric-transform put-side bucket table (Column-expression
     # path — bit-identical doubles to the DuckDB twin; the NumPy kernel is
@@ -328,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_sketches": q_srp_sketches,
         "srp_pairs": q_srp_pairs,
         "l2_buckets": q_l2_buckets,
+        "l2_knn": q_l2_knn,
         "mips_buckets": q_mips_buckets,
         "mips_topk": q_mips_topk,
         "substring_dups": q_substring_dups,
@@ -365,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_sketches": O.q_srp_sketches(SRP),
         "srp_pairs": O.q_srp_pairs(SRP, SRP_MAX_HAMMING),
         "l2_buckets": O.q_l2_buckets(),
+        "l2_knn": O.q_l2_knn(2, 4, 64, 4.0, 42, ANN_QUERY_MOD, ANN_K),
         "mips_buckets": O.q_mips_buckets(ORACLE_MIPS),
         "mips_topk": O.q_mips_topk(ORACLE_MIPS, ANN_QUERY_MOD, ANN_K),
         "substring_dups": O.q_substring_dups(min_match=48, k_gram=16),

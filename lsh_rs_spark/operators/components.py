@@ -146,6 +146,7 @@ def connected_components_star(
 
 def _star_loop(e: DataFrame, max_iters: int, strict: bool) -> DataFrame:
     connected_components_star.last_converged_in = None
+    prev_count = e.count()
     for it in range(max_iters):
         # large-star: group by u over BOTH directions, attach larger
         # neighbors to the minimum of the neighborhood (including u).
@@ -190,9 +191,19 @@ def _star_loop(e: DataFrame, max_iters: int, strict: bool) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
-        )
+        # cheap convergence pre-check: star contraction only ever shrinks or
+        # reshapes the edge set, so a count change proves non-convergence
+        # without the two full exceptAll comparisons (they run only on the
+        # final candidate round)
+        new_count = new_e.count()
+        if new_count != prev_count:
+            changed = 1
+        else:
+            changed = (
+                new_e.exceptAll(e).limit(1).count()
+                + e.exceptAll(new_e).limit(1).count()
+            )
+        prev_count = new_count
         e = new_e
         if changed == 0:
             connected_components_star.last_converged_in = it + 1

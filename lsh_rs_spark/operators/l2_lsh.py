@@ -32,6 +32,19 @@ def l2_candidate_pairs(
     return pairs_from_buckets(b, ["band_key"], max_bucket_size, id_col="vec_id")
 
 
+def _l2_bands_col_path(
+    emb: DataFrame, n_tables: int, k: int, dim: int, r: float, seed: int,
+    id_col: str, vec_col: str, id_alias: str,
+) -> DataFrame:
+    """Column-expression band table (oracle-parity twin of l2_band_table)."""
+    from lsh_rs_spark.functions.l2 import l2_hash_col
+
+    keys = l2_hash_col(vec_col, n_tables, k, dim, r, seed)
+    return emb.select(F.col(id_col).alias(id_alias), keys.alias("keys")).select(
+        id_alias, F.explode("keys").alias("band_key")
+    )
+
+
 def l2_knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -44,22 +57,37 @@ def l2_knn(
     probes: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_udf: bool = True,
 ) -> DataFrame:
     """predict(): probe → bucket union (n_collisions) → exact L2 → top-k.
 
     Returns (query_id, neighbor_id, n_collisions, dist, rank) — the
     reference QueryResult columns (`lsh-py/floky/__init__.py:9-11`).
+    use_udf=False → Column-expression band keys (DuckDB-parity path;
+    probes must be 0 — query-directed probing lives in the UDF).
     """
-    corpus_b = l2_band_table(
-        corpus, n_tables, k_hash, dim, r, seed, id_col, vec_col, probes=0,
-        id_alias="neighbor_id",
-    )
-    query_b = F.broadcast(
-        l2_band_table(
-            queries, n_tables, k_hash, dim, r, seed, id_col, vec_col,
-            probes=probes, id_alias="query_id",
+    if not use_udf:
+        if probes:
+            raise ValueError("query-directed probing requires use_udf=True")
+        corpus_b = _l2_bands_col_path(
+            corpus, n_tables, k_hash, dim, r, seed, id_col, vec_col, "neighbor_id"
         )
-    )
+        query_b = F.broadcast(
+            _l2_bands_col_path(
+                queries, n_tables, k_hash, dim, r, seed, id_col, vec_col, "query_id"
+            )
+        )
+    else:
+        corpus_b = l2_band_table(
+            corpus, n_tables, k_hash, dim, r, seed, id_col, vec_col, probes=0,
+            id_alias="neighbor_id",
+        )
+        query_b = F.broadcast(
+            l2_band_table(
+                queries, n_tables, k_hash, dim, r, seed, id_col, vec_col,
+                probes=probes, id_alias="query_id",
+            )
+        )
     cand = (
         query_b.join(corpus_b, "band_key")
         .where(F.col("query_id") != F.col("neighbor_id"))

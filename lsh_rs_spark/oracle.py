@@ -522,6 +522,45 @@ def q_l2_buckets(n_tables: int = 2, k: int = 4, dim: int = 64,
     return f"SELECT vec_id, band_key FROM ({selects})"
 
 
+def q_l2_knn(n_tables: int = 2, k: int = 4, dim: int = 64, r: float = 4.0,
+             seed: int = 42, query_mod: int = 100, top_k: int = 5) -> str:
+    """Twin of operators/l2_lsh.l2_knn: band probe → n_collisions →
+    exact L2 distance re-rank (sequential squared-diff fold, same order
+    as functions/vectors.l2_dist)."""
+    from lsh_rs_spark.functions.l2 import l2_hash_sql
+
+    frags = l2_hash_sql("embedding", n_tables, k, dim, r, seed)
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {frag} AS band_key FROM embeddings" for frag in frags
+    )
+    dist = (
+        f"SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1), "
+        "i -> (CAST((q.embedding)[i] AS DOUBLE) - CAST((c.embedding)[i] AS DOUBLE)) "
+        "* (CAST((q.embedding)[i] AS DOUBLE) - CAST((c.embedding)[i] AS DOUBLE)))))"
+    )
+    return f"""
+WITH bands AS ({bands}),
+cand AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         CAST(COUNT(*) AS BIGINT) AS n_collisions
+  FROM bands qb JOIN bands cb USING (band_key)
+  WHERE qb.vec_id % {query_mod} = 0 AND cb.vec_id <> qb.vec_id
+  GROUP BY qb.vec_id, cb.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.n_collisions, {dist} AS dist
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, n_collisions, dist, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {top_k}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # MIPS (asymmetric transform + L2 family) — twins of operators/mips_ops.py
 # ---------------------------------------------------------------------------
