@@ -141,3 +141,25 @@ def test_text_functions_spark_vs_duckdb(spark, docs_df):
     assert by_id[0]["lang"] == "en"
     assert by_id[5]["lang"] == "de"
     assert by_id[4]["ws"] == 0
+
+
+def test_bucket_stats_sampled_estimates(spark):
+    """Sampled describe: scaled estimates within sampling error of the full
+    stats; max is a lower bound."""
+    from lsh_rs_spark.config import DedupConfig
+    from lsh_rs_spark.operators import lsh as L
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 37} common shared tokens here {i % 11} tail") for i in range(3000)],
+        "doc_id: long, text: string",
+    )
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4, hash_family="xxhash64")
+    buckets = L.explode_bands(L.signatures(docs, cfg), cfg).persist()
+    full = {r.band_idx: r for r in L.bucket_stats(buckets).collect()}
+    samp = {r.band_idx: r for r in L.bucket_stats_sampled(buckets, sample_mod=4).collect()}
+    assert set(samp) <= set(full)
+    for bi, s in samp.items():
+        f = full[bi]
+        assert 0.3 * f.n_buckets <= s.n_buckets_est <= 3.0 * f.n_buckets
+        assert 0.3 * f.n_entries <= s.n_entries_est <= 3.0 * f.n_entries
+        assert s.max_bucket_size_lb <= f.max_bucket_size
