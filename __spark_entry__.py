@@ -258,6 +258,35 @@ def q_l2_buckets(spark, sf_dir):
     )
 
 
+def q_url_dedup_groups(spark, sf_dir):
+    # URL canonicalization dedup (the CC pipeline's pre-content dedup key):
+    # deterministic noisy variants (case/port/tracking/fragment/slash)
+    # synthesized from doc_id must collapse to one canonical key
+    from lsh_rs_spark.functions.urls import url_canonicalize
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = (F.col("doc_id") % 40).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://Example.COM/p/"), n))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("HTTPS://example.com:443/p/"), n, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("https://EXAMPLE.com/p/"), n, F.lit("?utm_source=x&id=7")))
+        .otherwise(F.concat(F.lit("https://example.COM:443/p/"), n, F.lit("/?utm_campaign=y#frag")))
+    )
+    c = d.select("doc_id", url.alias("url")).select(
+        "doc_id", "url", url_canonicalize("url").alias("canon_url")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canon_url")
+    return c.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        F.min("doc_id").over(w).alias("rep_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
 def q_l2_knn(spark, sf_dir):
     # L2 (E2LSH) predict path: band probe → n_collisions → exact L2 re-rank
     from lsh_rs_spark.operators.l2_lsh import l2_knn
@@ -331,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "url_dedup_groups": q_url_dedup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -369,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": O.q_quality_scores(),
         "lang_id": O.q_lang_id(),
         "doc_fingerprints": O.q_doc_fingerprints(),
+        "url_dedup_groups": O.q_url_dedup_groups(),
         "ann_cosine_topk": O.q_ann_cosine_topk(ANN_QUERY_MOD, ANN_K),
         "embedding_near_dup": O.q_embedding_near_dup_lsh(SRP, NEAR_DUP_COS),
         "embedding_near_dup_exact": O.q_embedding_near_dup(NEAR_DUP_COS),

@@ -522,6 +522,32 @@ def q_l2_buckets(n_tables: int = 2, k: int = 4, dim: int = 64,
     return f"SELECT vec_id, band_key FROM ({selects})"
 
 
+def q_url_dedup_groups() -> str:
+    """Twin of the URL-canonicalization dedup gate: noisy URL variants are
+    synthesized deterministically from doc_id (case, default port, tracking
+    params, fragment, trailing slash), canonicalized, and grouped — every
+    group of variants must collapse to one canonical key."""
+    from lsh_rs_spark.functions.urls import url_canonicalize_sql
+
+    url = """
+CASE doc_id % 4
+  WHEN 0 THEN CONCAT('https://Example.COM/p/', CAST(doc_id % 40 AS VARCHAR))
+  WHEN 1 THEN CONCAT('HTTPS://example.com:443/p/', CAST(doc_id % 40 AS VARCHAR), '/')
+  WHEN 2 THEN CONCAT('https://EXAMPLE.com/p/', CAST(doc_id % 40 AS VARCHAR), '?utm_source=x&id=7')
+  ELSE CONCAT('https://example.COM:443/p/', CAST(doc_id % 40 AS VARCHAR), '/?utm_campaign=y#frag')
+END
+""".strip().replace("\n", " ")
+    canon = url_canonicalize_sql("url")
+    return f"""
+WITH d AS (SELECT doc_id, {url} AS url FROM documents),
+c AS (SELECT doc_id, url, {canon} AS canon_url FROM d)
+SELECT doc_id, url, canon_url,
+       MIN(doc_id) OVER (PARTITION BY canon_url) AS rep_id,
+       CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS group_size
+FROM c
+""".strip()
+
+
 def q_l2_knn(n_tables: int = 2, k: int = 4, dim: int = 64, r: float = 4.0,
              seed: int = 42, query_mod: int = 100, top_k: int = 5) -> str:
     """Twin of operators/l2_lsh.l2_knn: band probe → n_collisions →

@@ -163,3 +163,23 @@ def test_bucket_stats_sampled_estimates(spark):
         assert 0.3 * f.n_buckets <= s.n_buckets_est <= 3.0 * f.n_buckets
         assert 0.3 * f.n_entries <= s.n_entries_est <= 3.0 * f.n_entries
         assert s.max_bucket_size_lb <= f.max_bucket_size
+
+
+def test_url_canonicalize_semantics(spark):
+    from lsh_rs_spark.functions.urls import url_canonicalize
+
+    cases = [
+        ("https://Example.COM/p/1", "https://example.com/p/1"),
+        ("HTTPS://example.com:443/p/1/", "https://example.com/p/1"),
+        ("https://EXAMPLE.com/p/1?utm_source=x&id=7", "https://example.com/p/1?id=7"),
+        ("https://example.COM:443/p/1/?utm_campaign=y#frag", "https://example.com/p/1"),
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default kept
+        ("https://a.com/", "https://a.com/"),  # root slash kept (len-1 path)
+        ("https://a.com/x?gclid=1&fbclid=2", "https://a.com/x"),
+        ("https://a.com/x?a=1&utm_medium=m&b=2", "https://a.com/x?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in df.select(url_canonicalize("url").alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)

@@ -74,3 +74,55 @@ def test_pair_kernel_matches_dp_oracle(docs):
                 assert MIN_MATCH <= got[(i, j)] <= true_l
             else:
                 assert (i, j) not in got, (docs[i], docs[j], true_l, got.get((i, j)))
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator properties (kperm + OPH agree with true Jaccard)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck
+
+
+@st.composite
+def set_pairs(draw):
+    """Set sizes >= k=128 so OPH bins are densely filled: with sparse fills
+    the estimator stays unbiased but its effective sample size is the
+    number of FILLED bins (densified bins copy the few filled sources), so
+    a k-based sigma bound would be invalid — that regime is covered by the
+    kernel unit tests instead."""
+    universe = draw(st.integers(400, 2000))
+    a = draw(st.sets(st.integers(0, universe), min_size=150, max_size=400))
+    b = draw(st.sets(st.integers(0, universe), min_size=150, max_size=400))
+    return sorted(a), sorted(b)
+
+
+@given(set_pairs())
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_minhash_estimators_track_true_jaccard(pair):
+    """Both kernels' signature-agreement estimates stay within 5σ binomial
+    bounds of the true Jaccard, and identical sets give identical sigs."""
+    from lsh_rs_spark.functions.hashing import minhash_params
+    from lsh_rs_spark.functions.minhash import minhash_kernel, oph_kernel
+
+    a, b = pair
+    true_j = len(set(a) & set(b)) / len(set(a) | set(b))
+    k = 128
+    aa, bb = minhash_params(k, seed=9)
+    offs = np.array([0, len(a)])
+    flat = np.array(a + b, dtype=np.int64)
+
+    for kern in ("kperm", "oph"):
+        if kern == "kperm":
+            sig = minhash_kernel(offs, flat, aa, bb)
+        else:
+            sig = oph_kernel(offs, flat, k, int(aa[0]), int(bb[0]))
+        est = float((sig[0] == sig[1]).mean())
+        sd = np.sqrt(max(true_j * (1 - true_j), 0.25 / k) / k)
+        assert abs(est - true_j) <= 5 * sd + 1e-9, (kern, est, true_j)
+
+    # identical sets → identical signatures on both paths
+    offs2 = np.array([0, len(a)])
+    flat2 = np.array(a + a, dtype=np.int64)
+    s1 = minhash_kernel(offs2, flat2, aa, bb)
+    s2 = oph_kernel(offs2, flat2, k, int(aa[0]), int(bb[0]))
+    assert (s1[0] == s1[1]).all() and (s2[0] == s2[1]).all()
