@@ -258,6 +258,28 @@ def q_l2_buckets(spark, sf_dir):
     )
 
 
+def q_l2_xi_distances(spark, sf_dir):
+    # M2: query-directed-probe boundary distances (xi), the SQL-expressible
+    # core of multi-probe; the heap enumeration order is pytest-gated
+    # against the reference golden (multi_probe.rs:447-452)
+    from lsh_rs_spark.functions.l2 import l2_xi_col
+
+    # xi values rounded to 9 decimals on BOTH sides: unlike every other
+    # double gate (which flows through floor/threshold quantization), raw
+    # projections expose 1-2 ulp fold-order differences between Spark's
+    # sequential aggregate and DuckDB's LIST_SUM
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return emb.select(
+        "vec_id", F.explode(l2_xi_col("embedding", 2, 4, 64, 4.0, 42)).alias("x")
+    ).select(
+        "vec_id",
+        "x.table_idx",
+        "x.k_idx",
+        F.round("x.xi_min", 9).alias("xi_min"),
+        F.round("x.xi_plus", 9).alias("xi_plus"),
+    )
+
+
 def q_url_dedup_groups(spark, sf_dir):
     # URL canonicalization dedup (the CC pipeline's pre-content dedup key):
     # deterministic noisy variants (case/port/tracking/fragment/slash)
@@ -368,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_pairs": q_srp_pairs,
         "l2_buckets": q_l2_buckets,
         "l2_knn": q_l2_knn,
+        "l2_xi_distances": q_l2_xi_distances,
         "mips_buckets": q_mips_buckets,
         "mips_topk": q_mips_topk,
         "substring_dups": q_substring_dups,
@@ -407,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_pairs": O.q_srp_pairs(SRP, SRP_MAX_HAMMING),
         "l2_buckets": O.q_l2_buckets(),
         "l2_knn": O.q_l2_knn(2, 4, 64, 4.0, 42, ANN_QUERY_MOD, ANN_K),
+        "l2_xi_distances": O.q_l2_xi_distances(2, 4, 64, 4.0, 42, ANN_QUERY_MOD),
         "mips_buckets": O.q_mips_buckets(ORACLE_MIPS),
         "mips_topk": O.q_mips_topk(ORACLE_MIPS, ANN_QUERY_MOD, ANN_K),
         "substring_dups": O.q_substring_dups(min_match=48, k_gram=16),

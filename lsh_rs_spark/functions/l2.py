@@ -195,6 +195,54 @@ def l2_hash_col(vec, n_tables: int, k: int, dim: int, r: float, seed: int):
     return F.array(*keys)
 
 
+def l2_xi_col(vec, n_tables: int, k: int, dim: int, r: float, seed: int):
+    """ARRAY<STRUCT<table,k,xi_min,xi_plus>> — the query-directed-probe
+    boundary distances (M2, `multi_probe.rs:312-321`): for projection
+    f = A·v + b, xi_min = f - floor(f/r)·r is the distance back to the
+    lower bucket wall and xi_plus = r - xi_min the distance forward.
+    Same fold arithmetic as ``l2_hash_col`` → DuckDB-parity doubles;
+    golden invariant xi_min + xi_plus == r (`multi_probe.rs:447-452`)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    A, b = l2_params(n_tables, k, dim, r, seed)
+    entries = []
+    for t in range(n_tables):
+        for kk in range(k):
+            coeffs = F.lit([float(c) for c in A[t, kk]])
+            terms = F.zip_with(coeffs, v, lambda ca, x: ca * x.cast("double"))
+            f = (
+                F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+                + F.lit(float(b[t, kk]))
+            )
+            xi_min = f - F.floor(f / F.lit(r)) * F.lit(r)
+            entries.append(
+                F.struct(
+                    F.lit(t).cast("int").alias("table_idx"),
+                    F.lit(kk).cast("int").alias("k_idx"),
+                    xi_min.alias("xi_min"),
+                    (F.lit(r) - xi_min).alias("xi_plus"),
+                )
+            )
+    return F.array(*entries)
+
+
+def l2_xi_sql(vec_expr: str, n_tables: int, k: int, dim: int, r: float, seed: int) -> list[str]:
+    """DuckDB twins of ``l2_xi_col``: one (table, k, xi_min, xi_plus)
+    4-tuple of SQL fragments per projection."""
+    A, b = l2_params(n_tables, k, dim, r, seed)
+    out = []
+    for t in range(n_tables):
+        for kk in range(k):
+            coeffs = ", ".join(repr(float(c)) for c in A[t, kk])
+            f = (
+                f"(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1), "
+                f"i -> ([{coeffs}])[i] * CAST(({vec_expr})[i] AS DOUBLE))) "
+                f"+ {float(b[t, kk])!r})"
+            )
+            xi_min = f"({f} - FLOOR({f} / {float(r)!r}) * {float(r)!r})"
+            out.append((t, kk, xi_min, f"({float(r)!r} - {xi_min})"))
+    return out
+
+
 def l2_hash_sql(vec_expr: str, n_tables: int, k: int, dim: int, r: float, seed: int) -> list[str]:
     """DuckDB twins: one SQL fragment per table producing the same key."""
     A, b = l2_params(n_tables, k, dim, r, seed)

@@ -522,6 +522,23 @@ def q_l2_buckets(n_tables: int = 2, k: int = 4, dim: int = 64,
     return f"SELECT vec_id, band_key FROM ({selects})"
 
 
+def q_l2_xi_distances(n_tables: int = 2, k: int = 4, dim: int = 64,
+                      r: float = 4.0, seed: int = 42, query_mod: int = 100) -> str:
+    """Twin of functions/l2.l2_xi_col — the query-directed multi-probe
+    boundary distances (M2)."""
+    from lsh_rs_spark.functions.l2 import l2_xi_sql
+
+    # ROUND(…, 9) on both sides — see the Spark-side comment in
+    # __spark_entry__.q_l2_xi_distances (ulp-level fold-order differences)
+    selects = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_idx, {kk} AS k_idx, "
+        f"ROUND({xi_min}, 9) AS xi_min, ROUND({xi_plus}, 9) AS xi_plus "
+        f"FROM embeddings WHERE vec_id % {query_mod} = 0"
+        for t, kk, xi_min, xi_plus in l2_xi_sql("embedding", n_tables, k, dim, r, seed)
+    )
+    return f"SELECT vec_id, CAST(table_idx AS INTEGER) AS table_idx, CAST(k_idx AS INTEGER) AS k_idx, xi_min, xi_plus FROM ({selects})"
+
+
 def q_url_dedup_groups() -> str:
     """Twin of the URL-canonicalization dedup gate: noisy URL variants are
     synthesized deterministically from doc_id (case, default port, tracking
