@@ -106,6 +106,16 @@ class SimHashLSH:
         pairs = SH.simhash_candidate_pairs(self._sketches, self.cfg)
         return V.hamming_edges(pairs, self._sketches, self.cfg)
 
+    def dedup(self, docs: DataFrame, id_col: str = "doc_id",
+              cc_max_iters: int = 25) -> DataFrame:
+        """Full clustering on the Hamming family:
+        (doc_id, cluster_id, is_representative) — same output contract as
+        MinHashLSH.dedup, so the two families are drop-in replacements."""
+        self.fit(docs, id_col=id_col)
+        edges = self.near_dup_pairs()
+        comps = connected_components(edges, cc_max_iters)
+        return dedup_representatives(with_singletons(comps, self._sketches))
+
 
 class SrpLSH:
     """Cosine family over dense embeddings (≙ `LshSrp`,

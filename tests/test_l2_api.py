@@ -159,3 +159,23 @@ def test_mips_api_finds_max_inner_product(spark):
     top = [r for r in res if r.rank == 1]
     assert top and top[0].neighbor_id == 7
     assert top[0].distance < 0  # distance = -dot, planted dot > 0
+
+
+def test_simhash_api_dedup_contract(spark):
+    """SimHashLSH.dedup produces the MinHashLSH.dedup output contract and
+    clusters planted near-identical docs together."""
+    from lsh_rs_spark.api import SimHashLSH
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    docs = spark.createDataFrame(
+        [(1, base + "tail"), (2, base + "TAIL"),  # 1 of 51 tokens differs
+         (3, "completely different words here " * 8),
+         (4, "another unrelated document body " * 8)],
+        ["doc_id", "text"],
+    )
+    keep = SimHashLSH(SimHashConfig(n_bits=48, bands=6, hamming_threshold=8)).dedup(docs)
+    rows = {r.doc_id: (r.cluster_id, r.is_representative) for r in keep.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1][0] == rows[2][0]  # planted twins share a cluster
+    assert rows[1][1] and not rows[2][1]  # min id is the representative
+    assert rows[3][0] != rows[1][0] and rows[4][0] != rows[1][0]

@@ -379,3 +379,41 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     }
     assert want, "corpus must contain planted near-dups"
     assert got == want
+
+
+def test_streaming_incremental_dedup_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a restart: process batch 1, stop, add more
+    files, restart from the same checkpoint — edges are not duplicated and
+    the final set equals the batch computation."""
+    from lsh_rs_spark.config import DedupConfig
+    from lsh_rs_spark.operators import lsh as L
+    from lsh_rs_spark.operators import verify as V
+    from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
+    from lsh_rs_spark.streaming import ingest as SI
+
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4,
+                      hash_family="xxhash64", jaccard_threshold=0.5)
+    pages = with_doc_ids(synth_webpages(spark, 120, partitions=2)).persist()
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    schema = ("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, "
+              "lang STRING, doc_id LONG")
+
+    # phase 1: only the even half exists
+    pages.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    s1 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    SI.start_incremental_dedup(s1, cfg, work).awaitTermination(120)
+
+    # phase 2: the odd half lands; restart from the same checkpoint
+    pages.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(src)
+    s2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    SI.start_incremental_dedup(s2, cfg, work).awaitTermination(120)
+
+    got_all = spark.read.parquet(f"{work}/edges").select("src", "dst")
+    got = {(r.src, r.dst) for r in got_all.collect()}
+    sig = L.signatures(pages, cfg).persist()
+    want = {(r.src, r.dst) for r in V.jaccard_edges(
+        L.candidate_pairs(L.explode_bands(sig, cfg), cfg), sig, cfg).collect()}
+    assert want and got == want
+    # no duplicate edge rows across the restart
+    assert got_all.count() == got_all.distinct().count()
