@@ -216,6 +216,21 @@ def main() -> None:
     exact10.unpersist()
     extras["quality_eval_seconds"] = round(time.time() - t_q, 3)
 
+    # surface the latest N→4N scaling evidence (produced by
+    # tools/scaling_bench.py on the same deterministic corpus) in the
+    # bench line itself — the north rule's two-cluster-size criterion
+    try:
+        sc = json.load(open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools", "scaling_results.json")))
+        extras["scaling_efficiency"] = sc["value"]
+        extras["scaling_cores"] = f"{sc['low_cores']}->{sc['high_cores']}"
+        extras["scaling_docs_per_sec"] = {
+            str(c): round(r["docs_per_sec"], 1) for c, r in sc["runs"].items()
+        }
+        extras["scaling_passed"] = sc["passed"]
+    except (OSError, KeyError, ValueError):
+        pass
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
