@@ -64,6 +64,13 @@ def connected_components(
         .persist()
     )
     connected_components.last_converged_in = None
+
+    def label_sum(df: DataFrame):
+        # exact decimal sum — int64 doc ids summed over billions of rows
+        # would overflow a BIGINT accumulator
+        return df.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = label_sum(labels)
     for it in range(max_iters):
         # hash-min step in one join + one aggregation (2 shuffles/iter):
         # labels flow across edges, union the node's own label, take min
@@ -77,18 +84,17 @@ def connected_components(
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        # convergence check via one cheap scan, not a self-join: hash-min
+        # labels are monotonically non-increasing per node, so the exact
+        # label sum strictly decreases until the fixpoint —
+        # sum unchanged ⟺ no label changed
+        new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             connected_components.last_converged_in = it + 1
             break
+        prev_sum = new_sum
     else:
         if strict:
             raise RuntimeError(
