@@ -103,6 +103,18 @@ def start_incremental_dedup(
         have_store = os.path.exists(buckets_dir)
         if have_store:
             store = spark.read.parquet(buckets_dir)
+            # hot-bucket guard on the probe side too: a boilerplate bucket
+            # that grew past the cap in the store would otherwise fan every
+            # colliding new doc out against its whole membership.  (At real
+            # scale the size table is maintained incrementally next to the
+            # bucket store rather than re-aggregated per batch.)
+            hot = (
+                store.groupBy("band_idx", "band_key")
+                .agg(F.count("*").alias("_n"))
+                .where(F.col("_n") > cfg.max_bucket_size)
+                .select("band_idx", "band_key")
+            )
+            store = store.join(hot, ["band_idx", "band_key"], "left_anti")
             # probe: new keys vs stored keys (new×old), plus new×new pairs
             probe = new_buckets.join(
                 store, ["band_idx", "band_key"]
