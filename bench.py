@@ -136,6 +136,13 @@ def main() -> None:
         lambda: dedup_pipeline_count(pages, PIPELINE_CONFIG),
     )
     extras["synth_docs_per_sec"] = round(n_pages / timings["dedup_synth_webpages"], 1)
+    # second timed pass (NOT in the headline total): this host swings
+    # single runs by ±30% under contention (see BASELINE.md) — the repeat
+    # gives a steady-state docs/sec in the same JSON, transparently labeled
+    t0 = time.time()
+    dedup_pipeline_count(pages, PIPELINE_CONFIG)
+    extras["synth_run2_seconds"] = round(time.time() - t0, 3)
+    extras["synth_docs_per_sec_run2"] = round(n_pages / extras["synth_run2_seconds"], 1)
 
     # 3. simhash near-dup on documents (production kernel)
     extras["simhash_pairs"] = timed(
