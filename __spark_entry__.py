@@ -150,7 +150,7 @@ def q_knn_text_topk_bounded(spark, sf_dir):
 
 
 def q_exact_dup_edges(spark, sf_dir):
-    # scale form of exact dedup (md5 shuffle key + rep join-back); the
+    # scale form of exact dedup (sha256 shuffle key + rep join-back); the
     # documents table has no byte-identical twins at sf0.01, so the gate
     # doubles the corpus deterministically (doc_id + 10^6 twins) — every
     # doc must resolve to its twin's representative

@@ -65,12 +65,31 @@ def connected_components(
     )
     connected_components.last_converged_in = None
 
+    # The cheap convergence check (exact decimal label-sum scan) is only
+    # sound for integral ids: a non-numeric id (e.g. string doc ids) casts
+    # to NULL, label_sum returns None on both sides, and None == None would
+    # declare convergence after round 1 with wrong labels.  Dispatch on the
+    # id type: integral → sum scan (1 cheap agg/round); anything else →
+    # type-agnostic join-based changed-count (1 extra join/round).
+    id_type = dict(sym.dtypes)["src"]
+    numeric_ids = id_type in ("tinyint", "smallint", "int", "bigint") or (
+        id_type.startswith("decimal")
+    )
+
     def label_sum(df: DataFrame):
         # exact decimal sum — int64 doc ids summed over billions of rows
         # would overflow a BIGINT accumulator
         return df.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
 
-    prev_sum = label_sum(labels)
+    def n_changed(old: DataFrame, new: DataFrame) -> int:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+
+    prev_sum = label_sum(labels) if numeric_ids else None
     for it in range(max_iters):
         # hash-min step in one join + one aggregation (2 shuffles/iter):
         # labels flow across edges, union the node's own label, take min
@@ -87,14 +106,19 @@ def connected_components(
         # convergence check via one cheap scan, not a self-join: hash-min
         # labels are monotonically non-increasing per node, so the exact
         # label sum strictly decreases until the fixpoint —
-        # sum unchanged ⟺ no label changed
-        new_sum = label_sum(new_labels)
+        # sum unchanged ⟺ no label changed.  (Non-integral ids take the
+        # join-based changed-count instead — see dispatch above.)
+        if numeric_ids:
+            new_sum = label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = n_changed(labels, new_labels) == 0
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             connected_components.last_converged_in = it + 1
             break
-        prev_sum = new_sum
     else:
         if strict:
             raise RuntimeError(

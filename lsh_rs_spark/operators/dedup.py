@@ -17,12 +17,15 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """Exact duplicate detection: identical `text` bytes → one group.
 
     Output: (doc_id, rep_id, group_size) — rep is the min id per group.
-    The shuffle key is ``md5(text)`` (16 bytes), NOT the raw text — at web
-    scale partitioning by the document body would shuffle the corpus bytes
-    as keys.  md5 is 128-bit so accidental collisions are negligible
-    (~n²/2¹²⁹); the DuckDB oracle groups on raw text and matches exactly.
+    The shuffle key is ``sha256(text)`` (32 bytes), NOT the raw text — at
+    web scale partitioning by the document body would shuffle the corpus
+    bytes as keys.  sha256 (not md5): exact dedup runs on untrusted web
+    content, and md5 collisions are practically constructible — an attacker
+    could publish two different pages that merge as "exact" duplicates.
+    sha256 is collision-resistant; the DuckDB oracle groups on raw text and
+    matches exactly.
     """
-    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary")))
+    w = Window.partitionBy(F.sha2(F.col(text_col).cast("binary"), 256))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.min(id_col).over(w).alias("rep_id"),
@@ -36,15 +39,17 @@ def exact_dup_edges(
     """Scale form of exact dedup for the pipeline: (rep_id, doc_id) rows for
     every non-representative member of a byte-identical-text group.
 
-    One hash-agg on ``md5(text)`` (16-byte shuffle key, bounded aggregation
-    state — min + count, no collect_list) + one join back.  The rep side
+    One hash-agg on ``sha256(text)`` (32-byte shuffle key — collision
+    resistant against adversarial web content, see exact_dup_groups; bounded
+    aggregation state — min + count, no collect_list) + one join back.  The
+    rep side
     only keeps groups with >= 2 members, so it is tiny (≈ the dup rate) and
     AQE broadcasts it; a massive boilerplate group costs one counter per
     partition, not an unbounded list in one buffer.
     """
     h = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col).cast("binary")).alias("_th"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("_th"),
     )
     reps = (
         h.groupBy("_th")

@@ -297,7 +297,7 @@ FROM documents WHERE text IS NOT NULL
 def q_exact_dup_edges() -> str:
     """Twin of dedup.exact_dup_edges (the pipeline's scale form): one row
     (rep_id, doc_id) per non-representative member of an identical-text
-    group.  DuckDB groups on raw text; Spark's md5 shuffle key yields the
+    group.  DuckDB groups on raw text; Spark's sha256 shuffle key yields the
     same groups (128-bit collisions are ~n²/2¹²⁹)."""
     return """
 WITH h AS (

@@ -80,7 +80,7 @@ class DedupPipeline:
 
         exact = self._stage(
             "exact_groups",
-            # md5(text) shuffle key + rep join-back: never shuffles document
+            # sha256(text) shuffle key + rep join-back: never shuffles document
             # bytes as keys, never collect_list()s an unbounded member list
             # (see operators/dedup.exact_dup_edges).
             lambda: exact_dup_edges(docs),

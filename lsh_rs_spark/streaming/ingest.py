@@ -62,11 +62,28 @@ def stream_exact_dedup(pages: DataFrame, delay: str = "10 minutes") -> DataFrame
     )
 
 
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """spark.read.parquet(path) or None if the path does not exist.
+
+    Probes through Spark (AnalysisException on a missing path) rather than
+    driver-local ``os.path.exists`` — on HDFS/S3 a local stat would read an
+    existing store as absent and silently skip the new-vs-stored probe."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution now, not at first action
+        return df
+    except AnalysisException:
+        return None
+
+
 def start_incremental_dedup(
     pages: DataFrame,
     cfg: DedupConfig,
     workdir: str,
     trigger_available_now: bool = True,
+    compact_every: int = 16,
 ):
     """Incremental near-dup detection: the reference's `store_vec` + query
     lifecycle (`lsh-rs/src/lsh/lsh.rs:434-445`) as a streaming job.
@@ -79,6 +96,18 @@ def start_incremental_dedup(
       3. exact-verify (Jaccard) and append edges to ``{workdir}/edges``,
       4. append the new bucket rows to ``{workdir}/buckets``.
 
+    Hot-bucket guard, maintained INCREMENTALLY (not a per-batch full-store
+    groupBy): ``{workdir}/bucket_counts`` is an append-only per-batch count
+    log (O(batch) rows written per trigger, compacted to one row per key
+    every ``compact_every`` batches), and ``{workdir}/hot_buckets`` is the
+    materialized set of keys whose cumulative size crossed
+    ``cfg.max_bucket_size``.  A key can only become hot in a batch that
+    touches it, so the hot update scans the count log restricted to the
+    batch's keys (broadcast semi-join); the probe stage reads O(batch) new
+    rows + the O(hot-keys) table — never re-aggregates the store.  Rows the
+    guard excludes are COUNTED per batch (``{workdir}/metrics``), matching
+    the batch path's dropped/capped counters — drops are never silent.
+
     The bucket store is the growing index (parquet here; Iceberg/Delta on a
     real deployment for snapshot isolation); each batch's shuffle is
     proportional to the batch × its collisions, so a long-running crawl
@@ -86,8 +115,12 @@ def start_incremental_dedup(
     Exactly-once: the streaming checkpoint replays an incomplete batch;
     edge/bucket appends are idempotently deduped downstream by (src, dst) /
     (band_idx, band_key, doc_id) — same contract as the batch StageStore.
+    A replayed batch may double-count in the count log; that only makes the
+    guard trip earlier (conservative: more counted drops, never more pairs).
     """
+    import json
     import os
+    import uuid
 
     from lsh_rs_spark.operators.lsh import pairs_from_buckets
     from lsh_rs_spark.operators.verify import jaccard_edges
@@ -95,56 +128,104 @@ def start_incremental_dedup(
     buckets_dir = f"{workdir}/buckets"
     edges_dir = f"{workdir}/edges"
     sig_dir = f"{workdir}/signatures"
+    counts_dir = f"{workdir}/bucket_counts"
+    hot_dir = f"{workdir}/hot_buckets"
+    metrics_dir = f"{workdir}/metrics"
+    KEY = ["band_idx", "band_key"]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        metrics: dict = {"batch_id": batch_id}
         sig = signatures(batch_df, cfg).persist()
         new_buckets = explode_bands(sig, cfg).persist()
-        have_store = os.path.exists(buckets_dir)
-        if have_store:
-            store = spark.read.parquet(buckets_dir)
-            # hot-bucket guard on the probe side too: a boilerplate bucket
-            # that grew past the cap in the store would otherwise fan every
-            # colliding new doc out against its whole membership.  (At real
-            # scale the size table is maintained incrementally next to the
-            # bucket store rather than re-aggregated per batch.)
-            hot = (
-                store.groupBy("band_idx", "band_key")
-                .agg(F.count("*").alias("_n"))
-                .where(F.col("_n") > cfg.max_bucket_size)
-                .select("band_idx", "band_key")
+        batch_counts = (
+            new_buckets.groupBy(*KEY).agg(F.count("*").alias("n")).persist()
+        )
+
+        # -- incremental hot-set maintenance (O(batch) + O(hot)) ---------
+        prev_hot = _read_if_exists(spark, hot_dir)
+        counts_log = _read_if_exists(spark, counts_dir)
+        if counts_log is not None:
+            # cumulative sizes for THIS batch's keys only: count-log scan
+            # restricted by a broadcast semi-join on the batch keys (3 int
+            # columns, no doc ids — never the bucket store itself)
+            prior = (
+                counts_log.join(F.broadcast(batch_counts.select(*KEY)), KEY)
+                .groupBy(*KEY)
+                .agg(F.sum("n").alias("n_prior"))
             )
-            store = store.join(hot, ["band_idx", "band_key"], "left_anti")
-            # probe: new keys vs stored keys (new×old), plus new×new pairs
-            probe = new_buckets.join(
-                store, ["band_idx", "band_key"]
+        else:
+            prior = None
+        if prior is not None:
+            cum = batch_counts.join(prior, KEY, "left").select(
+                *KEY,
+                (F.col("n") + F.coalesce(F.col("n_prior"), F.lit(0))).alias("n_cum"),
+            )
+        else:
+            cum = batch_counts.select(*KEY, F.col("n").alias("n_cum"))
+        newly_hot = cum.where(F.col("n_cum") > cfg.max_bucket_size).select(*KEY)
+        if prev_hot is not None:
+            newly_hot = newly_hot.join(F.broadcast(prev_hot), KEY, "left_anti")
+        newly_hot = newly_hot.persist()
+        metrics["newly_hot_buckets"] = newly_hot.count()
+        hot = (
+            prev_hot.unionByName(newly_hot) if prev_hot is not None else newly_hot
+        ).persist()
+        metrics["hot_buckets_total"] = hot.count()
+
+        # -- probe: new keys vs stored keys (new×old), plus new×new ------
+        store = _read_if_exists(spark, buckets_dir)
+        if store is not None:
+            # hot-bucket guard: a boilerplate bucket past the cap would fan
+            # every colliding new doc out against its whole membership.
+            # Guarded rows are counted, not silently dropped (ADVICE r2).
+            hot_new = new_buckets.join(F.broadcast(hot), KEY, "left_semi")
+            metrics["probe_rows_skipped_hot"] = hot_new.count()
+            probed = new_buckets.join(F.broadcast(hot), KEY, "left_anti")
+            store = store.join(F.broadcast(hot), KEY, "left_anti")
+            probe = probed.alias("nb").join(
+                store.alias("st"), KEY
             ).select(
-                F.col("band_idx"),
-                F.col("band_key"),
-                new_buckets["doc_id"].alias("src_new"),
-                store["doc_id"].alias("dst_old"),
+                F.col("nb.doc_id").alias("src_new"),
+                F.col("st.doc_id").alias("dst_old"),
             ).where(F.col("src_new") != F.col("dst_old")).select(
                 F.least("src_new", "dst_old").alias("src"),
                 F.greatest("src_new", "dst_old").alias("dst"),
             ).distinct()
-            intra = pairs_from_buckets(
-                new_buckets, ["band_idx", "band_key"], cfg.max_bucket_size
-            )
+            intra = pairs_from_buckets(new_buckets, KEY, cfg.max_bucket_size)
             pairs = probe.unionByName(intra).distinct()
             all_sig = spark.read.parquet(sig_dir).unionByName(
                 sig.select("doc_id", "shingles")
             )
         else:
-            pairs = pairs_from_buckets(
-                new_buckets, ["band_idx", "band_key"], cfg.max_bucket_size
-            )
+            metrics["probe_rows_skipped_hot"] = 0
+            pairs = pairs_from_buckets(new_buckets, KEY, cfg.max_bucket_size)
             all_sig = sig
         edges = jaccard_edges(pairs, all_sig, cfg)
         edges.write.mode("append").parquet(edges_dir)
         new_buckets.write.mode("append").parquet(buckets_dir)
         sig.select("doc_id", "shingles").write.mode("append").parquet(sig_dir)
-        sig.unpersist()
-        new_buckets.unpersist()
+
+        # -- maintenance appends ------------------------------------------
+        batch_counts.write.mode("append").parquet(counts_dir)
+        if metrics["newly_hot_buckets"]:
+            newly_hot.write.mode("append").parquet(hot_dir)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compacted = (
+                spark.read.parquet(counts_dir)
+                .groupBy(*KEY)
+                .agg(F.sum("n").alias("n"))
+                .localCheckpoint(eager=True)  # sever lineage before overwrite
+            )
+            compacted.coalesce(4).write.mode("overwrite").parquet(counts_dir)
+            metrics["counts_log_compacted"] = True
+        os.makedirs(metrics_dir, exist_ok=True)
+        tmp = os.path.join(metrics_dir, f".batch_{batch_id}_{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(metrics, f)
+        os.replace(tmp, os.path.join(metrics_dir, f"batch_{batch_id}.json"))
+        for df in (sig, new_buckets, batch_counts, newly_hot, hot):
+            df.unpersist()
 
     w = pages.writeStream.foreachBatch(process).option(
         "checkpointLocation", f"{workdir}/_checkpoint"

@@ -417,3 +417,67 @@ def test_streaming_incremental_dedup_checkpoint_restart(spark, tmp_path):
     assert want and got == want
     # no duplicate edge rows across the restart
     assert got_all.count() == got_all.distinct().count()
+
+
+def test_streaming_hot_bucket_guard_incremental_and_counted(spark, tmp_path):
+    """Round-3: the hot-bucket guard is maintained incrementally (count log
+    + hot table, no per-batch full-store groupBy) and every row it excludes
+    from the probe is counted in the per-batch metrics — never silent."""
+    import glob
+    import json
+
+    from lsh_rs_spark.config import DedupConfig
+    from lsh_rs_spark.streaming import ingest as SI
+
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4,
+                      hash_family="xxhash64", jaccard_threshold=0.5,
+                      max_bucket_size=3)
+    # 40 byte-identical docs: every band bucket is hot after batch 0
+    rows = [(f"http://x/{i}", None, None, "the same page body " * 8, "en", i)
+            for i in range(40)]
+    pages = spark.createDataFrame(
+        rows,
+        "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, "
+        "lang STRING, doc_id LONG",
+    )
+    src = str(tmp_path / "src")
+    pages.where(F.col("doc_id") < 20).coalesce(1).write.parquet(src)
+    pages.where(F.col("doc_id") >= 20).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, "
+            "lang STRING, doc_id LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = str(tmp_path / "work")
+    SI.start_incremental_dedup(stream, cfg, work, compact_every=2).awaitTermination(120)
+
+    metrics = sorted(glob.glob(f"{work}/metrics/batch_*.json"))
+    assert len(metrics) == 2
+    m = [json.load(open(p)) for p in metrics]
+    # batch 0 makes every bucket hot (20 identical docs >> cap=3) …
+    assert m[0]["newly_hot_buckets"] == cfg.bands
+    # … so batch 1's probe rows against the store are all skipped AND counted
+    assert m[1]["probe_rows_skipped_hot"] == 20 * cfg.bands
+    assert m[1]["hot_buckets_total"] == cfg.bands
+
+    # the incrementally-maintained state matches a from-scratch store scan
+    store = spark.read.parquet(f"{work}/buckets")
+    want_sizes = {
+        (r.band_idx, r.band_key): r["count"]
+        for r in store.groupBy("band_idx", "band_key").count().collect()
+    }
+    got_sizes = {
+        (r.band_idx, r.band_key): r.n
+        for r in spark.read.parquet(f"{work}/bucket_counts")
+        .groupBy("band_idx", "band_key").agg(F.sum("n").alias("n")).collect()
+    }
+    assert got_sizes == want_sizes
+    hot = {(r.band_idx, r.band_key)
+           for r in spark.read.parquet(f"{work}/hot_buckets").collect()}
+    assert hot == {k for k, n in want_sizes.items() if n > cfg.max_bucket_size}
+    # compaction ran (compact_every=2): log is one row per key
+    assert spark.read.parquet(f"{work}/bucket_counts").count() == len(got_sizes)

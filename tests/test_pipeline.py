@@ -257,3 +257,21 @@ def test_cc_algorithm_knob(spark):
     b = {(r.doc_id, r.cluster_id) for r in
          MinHashLSH(DedupConfig(**base, cc_algorithm="star")).dedup(docs).select("doc_id", "cluster_id").collect()}
     assert a == b and len(a) == 12
+
+
+def test_connected_components_string_ids(spark):
+    # regression (round-3 ADVICE): the decimal label-sum convergence check
+    # casts string ids to NULL on both sides of the comparison, which used
+    # to declare convergence after round 1 — a chain of string-id edges
+    # must still fully propagate via the join-based fallback
+    edges = [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(8)]
+    edges += [("x1", "x2"), ("z9", "z8")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in CC.connected_components(df, max_iters=15).collect()
+    }
+    want = {f"d{i:03d}": "d000" for i in range(9)}
+    want |= {"x1": "x1", "x2": "x1", "z8": "z8", "z9": "z8"}
+    assert got == want
+    assert CC.connected_components.last_converged_in is not None
