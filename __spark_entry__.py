@@ -220,7 +220,18 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
-def q_ann_cosine_topk(spark, sf_dir):
+def q_ann_srp_topk(spark, sf_dir):
+    # production ANN path (SRP bucket probe → exact cosine re-rank, no
+    # crossJoin anywhere); the brute-force exact baseline is gated
+    # separately as ann_cosine_topk_exact
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return ANN.ann_topk(queries, emb, SRP, ANN_K, use_udf=False)
+
+
+def q_ann_cosine_topk_exact(spark, sf_dir):
+    # O(n²) exact baseline — the recall oracle of the SRP-bucketed path
+    # (≙ the reference's scipy-cdist ground truth)
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return ANN.brute_force_topk(queries, emb, ANN_K)
@@ -277,6 +288,17 @@ def q_l2_xi_distances(spark, sf_dir):
         "x.k_idx",
         F.round("x.xi_min", 9).alias("xi_min"),
         F.round("x.xi_plus", 9).alias("xi_plus"),
+    )
+
+
+def q_l2_multiprobe_candidates(spark, sf_dir):
+    # M2 END-TO-END: query-directed probe enumeration (Lv et al. heap in
+    # the batch UDF) → bucket union, gated against a DuckDB twin that
+    # enumerates all 3^k−1 delta vectors and ranks by the same xi² score
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return MP.l2_multiprobe_candidates(
+        queries, emb, 2, 4, 64, 4.0, 42, budget=4
     )
 
 
@@ -383,7 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "url_dedup_groups": q_url_dedup_groups,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_srp_topk": q_ann_srp_topk,
+        "ann_cosine_topk_exact": q_ann_cosine_topk_exact,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "srp_sketches": q_srp_sketches,
@@ -395,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mips_topk": q_mips_topk,
         "substring_dups": q_substring_dups,
         "multiprobe_knn_candidates": q_multiprobe_knn_candidates,
+        "l2_multiprobe_candidates": q_l2_multiprobe_candidates,
     }
 
 
@@ -423,7 +447,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": O.q_lang_id(),
         "doc_fingerprints": O.q_doc_fingerprints(),
         "url_dedup_groups": O.q_url_dedup_groups(),
-        "ann_cosine_topk": O.q_ann_cosine_topk(ANN_QUERY_MOD, ANN_K),
+        "ann_srp_topk": O.q_ann_srp_topk(SRP, ANN_QUERY_MOD, ANN_K),
+        "ann_cosine_topk_exact": O.q_ann_cosine_topk(ANN_QUERY_MOD, ANN_K),
         "embedding_near_dup": O.q_embedding_near_dup_lsh(SRP, NEAR_DUP_COS),
         "embedding_near_dup_exact": O.q_embedding_near_dup(NEAR_DUP_COS),
         "srp_sketches": O.q_srp_sketches(SRP),
@@ -436,5 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dups": O.q_substring_dups(min_match=48, k_gram=16),
         "multiprobe_knn_candidates": O.q_multiprobe_candidates(
             ORACLE_SIMHASH, KNN_QUERY_MOD, budget=4
+        ),
+        "l2_multiprobe_candidates": O.q_l2_multiprobe_candidates(
+            2, 4, 64, 4.0, 42, ANN_QUERY_MOD, budget=4
         ),
     }

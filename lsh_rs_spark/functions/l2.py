@@ -243,6 +243,26 @@ def l2_xi_sql(vec_expr: str, n_tables: int, k: int, dim: int, r: float, seed: in
     return out
 
 
+def l2_f_sql(vec_expr: str, n_tables: int, k: int, dim: int, r: float, seed: int) -> list[list[str]]:
+    """DuckDB fragments of the raw projection f = A·v + b, indexed [t][kk].
+
+    Shared base of hash (floor(f/r)) and xi (f - floor(f/r)·r) — used by the
+    M2 end-to-end oracle, which needs h and xi of the SAME f per (t, k)."""
+    A, b = l2_params(n_tables, k, dim, r, seed)
+    out = []
+    for t in range(n_tables):
+        row = []
+        for kk in range(k):
+            coeffs = ", ".join(repr(float(c)) for c in A[t, kk])
+            row.append(
+                f"(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1), "
+                f"i -> ([{coeffs}])[i] * CAST(({vec_expr})[i] AS DOUBLE))) "
+                f"+ {float(b[t, kk])!r})"
+            )
+        out.append(row)
+    return out
+
+
 def l2_hash_sql(vec_expr: str, n_tables: int, k: int, dim: int, r: float, seed: int) -> list[str]:
     """DuckDB twins: one SQL fragment per table producing the same key."""
     A, b = l2_params(n_tables, k, dim, r, seed)

@@ -121,12 +121,18 @@ def ann_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_udf: bool = True,
 ) -> DataFrame:
-    """Scale-path ANN: SRP bucket probe → exact cosine re-rank of candidates."""
+    """Scale-path ANN: SRP bucket probe → exact cosine re-rank of candidates.
+
+    Driver-gated as ``ann_srp_topk`` against a DuckDB twin that replicates
+    the banding (oracle.q_ann_srp_topk); the brute-force exact form is
+    gated separately as ``ann_cosine_topk_exact``.  ``use_udf=False`` takes
+    the pure-Column sketch path (bit-identical to the SQL twin)."""
     from lsh_rs_spark.functions.simhash import sketch_bands
 
-    corpus_sk = srp_sketches(corpus, cfg, id_col, vec_col)
-    query_sk = srp_sketches(queries, cfg, id_col, vec_col)
+    corpus_sk = srp_sketches(corpus, cfg, id_col, vec_col, use_udf=use_udf)
+    query_sk = srp_sketches(queries, cfg, id_col, vec_col, use_udf=use_udf)
     qb = sketch_bands(query_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "query_id")
     cb = sketch_bands(corpus_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "neighbor_id")
     cand = (

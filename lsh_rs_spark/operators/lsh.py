@@ -73,7 +73,18 @@ def bucket_sizes(buckets: DataFrame) -> DataFrame:
 
 
 def bucket_stats(buckets: DataFrame) -> DataFrame:
-    """`describe` analogue (A3): per band, bucket-count / avg / max / skew feed."""
+    """`describe` analogue (A3): per band, bucket-count / avg / std / min /
+    max / skew feed.
+
+    Full reference parity (`lsh-rs/src/table/mem.rs:156-197`;
+    `sqlite.rs:284-321`): avg + population std-dev + min + max of bucket
+    sizes.  The std-dev is computed exactly like the reference's SQL variant
+    — ``sqrt(avg(c*c) - avg(c)*avg(c))`` — which is also the expression the
+    DuckDB oracle runs, so the doubles match bit-for-bit (sums of ints are
+    exact, the divisions/products/sqrt are IEEE-deterministic); rounded to
+    9 decimals on both sides as ulp insurance.  The std-dev is the skew
+    signal the tuning loop consumes (tuning.describe_cost)."""
+    c = F.col("bucket_size")
     return (
         bucket_sizes(buckets)
         .groupBy("band_idx")
@@ -81,6 +92,10 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
             F.count("*").alias("n_buckets"),
             F.sum("bucket_size").alias("n_entries"),
             F.avg("bucket_size").alias("avg_bucket_size"),
+            F.round(
+                F.sqrt(F.avg(c * c) - F.avg(c) * F.avg(c)), 9
+            ).alias("std_bucket_size"),
+            F.min("bucket_size").alias("min_bucket_size"),
             F.max("bucket_size").alias("max_bucket_size"),
             F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0)).alias(
                 "n_colliding_buckets"

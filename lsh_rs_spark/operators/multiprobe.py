@@ -77,6 +77,53 @@ def multiprobe_band_keys(
     ).select("p.band_idx", "p.band_key", id_alias, "p.probe_rank")
 
 
+def l2_multiprobe_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_tables: int,
+    k: int,
+    dim: int,
+    r: float,
+    seed: int,
+    budget: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """M2 end-to-end: query-directed probing → bucket union, for the L2
+    (E2LSH) family — `multi_probe.rs:301-378` (probe enumeration) +
+    `:387-418` (bucket union) as one DataFrame plan.
+
+    The query side enumerates, per table, the ``budget`` perturbation sets
+    with smallest total xi² (Lv et al. VLDB'07 heap, inside the batch UDF —
+    functions/l2.query_directed_probes) in addition to the base probe; the
+    corpus side stores one key per table.  Candidates are the distinct
+    (query_id, doc_id) bucket hits of the probe-key equijoin; the probe
+    side broadcasts so the corpus band table never shuffles.
+
+    Driver-gated against a DuckDB twin (oracle.q_l2_multiprobe_candidates)
+    that enumerates ALL 3^k−1 delta vectors and ranks by the same score —
+    equivalent to the heap's first-``budget``-valid prefix because the heap
+    pops subsets in nondecreasing score order.
+    """
+    from lsh_rs_spark.functions.l2 import l2_band_table
+
+    qk = l2_band_table(
+        queries, n_tables, k, dim, r, seed, id_col, vec_col,
+        probes=budget, id_alias="query_id",
+    )
+    ck = l2_band_table(
+        corpus, n_tables, k, dim, r, seed, id_col, vec_col,
+        probes=0, id_alias="doc_id",
+    )
+    return (
+        F.broadcast(qk)
+        .join(ck, "band_key")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+
 def multiprobe_candidates(
     query_sketches: DataFrame,
     corpus_sketches: DataFrame,

@@ -127,6 +127,10 @@ SELECT band_idx,
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(SUM(bucket_size) AS BIGINT) AS n_entries,
        AVG(bucket_size) AS avg_bucket_size,
+       ROUND(SQRT(AVG(bucket_size * bucket_size)
+                  - AVG(bucket_size) * AVG(bucket_size)), 9)
+         AS std_bucket_size,
+       CAST(MIN(bucket_size) AS BIGINT) AS min_bucket_size,
        CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size,
        CAST(SUM(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_colliding_buckets
@@ -482,6 +486,41 @@ WHERE {cos} >= {threshold}
 """.strip()
 
 
+def q_ann_srp_topk(cfg: SRPConfig, query_mod: int = 100, k: int = 5) -> str:
+    """Twin of ann.ann_topk (the SRP-bucketed production ANN path): band the
+    query and corpus sketches identically, candidates = band-key equijoin
+    (never a cartesian), exact cosine re-rank of candidates only.  Same
+    banding SQL as q_srp_pairs (gate-green), same scoring/tie order as
+    q_ann_cosine_topk_exact (gate-green)."""
+    bpb = cfg.bits_per_band
+    mask = (1 << bpb) - 1
+    srp = srp_sketch_sql("embedding", cfg.seed, cfg.n_bits, cfg.dim)
+    cos = _cos("a.embedding", "b.embedding")
+    return f"""
+WITH sk AS (SELECT vec_id, {srp} AS srp FROM embeddings),
+bands AS (
+  SELECT vec_id, bi AS band_idx, (srp >> (bi * {bpb})) & {mask} AS band_key
+  FROM sk CROSS JOIN (SELECT UNNEST(RANGE(0, {cfg.bands})) AS bi)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c USING (band_idx, band_key)
+  WHERE q.vec_id % {query_mod} = 0 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cos
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+
+
 def q_srp_sketches(cfg: SRPConfig) -> str:
     return (
         "SELECT vec_id, "
@@ -562,6 +601,102 @@ SELECT doc_id, url, canon_url,
        MIN(doc_id) OVER (PARTITION BY canon_url) AS rep_id,
        CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS group_size
 FROM c
+""".strip()
+
+
+def q_l2_multiprobe_candidates(
+    n_tables: int = 2, k: int = 4, dim: int = 64, r: float = 4.0,
+    seed: int = 42, query_mod: int = 100, budget: int = 4,
+) -> str:
+    """Twin of multiprobe.l2_multiprobe_candidates (M2 end-to-end:
+    query-directed probe enumeration → bucket union,
+    `multi_probe.rs:301-378,387-418`).
+
+    The production path enumerates perturbation sets with Lv et al.'s
+    shift/expand min-heap, which pops subsets in nondecreasing total-xi²
+    order and keeps the first ``budget`` valid ones (at most one
+    perturbation per coordinate).  This twin enumerates ALL 3^k − 1 valid
+    delta vectors (each coordinate −1/0/+1, not all zero), scores them with
+    the identical xi² sum, and ranks per (query, table) — the top-``budget``
+    prefix is the same set the heap emits, because every valid subset
+    appears in both enumerations and both order by the same score.
+    """
+    from itertools import product
+
+    from lsh_rs_spark.functions.l2 import l2_f_sql, l2_hash_sql
+
+    rr = repr(float(r))
+    fs = l2_f_sql("embedding", n_tables, k, dim, r, seed)
+    # per-query raw projections, then h / xi derived from the SAME f
+    qf_cols = ", ".join(
+        f"{fs[t][kk]} AS f_{t}_{kk}" for t in range(n_tables) for kk in range(k)
+    )
+    qx_cols = []
+    for t in range(n_tables):
+        for kk in range(k):
+            f = f"f_{t}_{kk}"
+            xim = f"({f} - FLOOR({f} / {rr}) * {rr})"
+            qx_cols += [
+                f"CAST(FLOOR({f} / {rr}) AS BIGINT) AS h_{t}_{kk}",
+                f"{xim} AS xim_{t}_{kk}",
+                f"({rr} - {xim}) AS xip_{t}_{kk}",
+            ]
+    combos = [c for c in product((-1, 0, 1), repeat=k) if any(c)]
+    d_cols = ", ".join(f"d{i}" for i in range(k))
+    values = ", ".join(
+        f"({i}, {', '.join(str(d) for d in c)})" for i, c in enumerate(combos)
+    )
+    # per-table scored perturbations: score = sum of xi² over perturbed ks
+    per_table = []
+    for t in range(n_tables):
+        score = " + ".join(
+            f"(CASE WHEN d{kk} = -1 THEN xim_{t}_{kk} * xim_{t}_{kk} "
+            f"WHEN d{kk} = 1 THEN xip_{t}_{kk} * xip_{t}_{kk} "
+            f"ELSE 0.0 END)"
+            for kk in range(k)
+        )
+        key = ", ".join(
+            f"CAST(h_{t}_{kk} + d{kk} AS VARCHAR)" for kk in range(k)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, did, {score} AS score, "
+            f"CONCAT_WS('-', '{t}', {key}) AS band_key "
+            f"FROM qx CROSS JOIN deltas"
+        )
+    scored = " UNION ALL ".join(per_table)
+    base_keys = " UNION ALL ".join(
+        "SELECT vec_id, CONCAT_WS('-', '{t}', {key}) AS band_key FROM qx".format(
+            t=t,
+            key=", ".join(f"CAST(h_{t}_{kk} AS VARCHAR)" for kk in range(k)),
+        )
+        for t in range(n_tables)
+    )
+    corpus_frags = l2_hash_sql("embedding", n_tables, k, dim, r, seed)
+    corpus_keys = " UNION ALL ".join(
+        f"SELECT vec_id, {frag} AS band_key FROM embeddings"
+        for frag in corpus_frags
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {query_mod} = 0
+),
+qf AS (SELECT vec_id, {qf_cols} FROM q),
+qx AS (SELECT vec_id, {", ".join(qx_cols)} FROM qf),
+deltas(did, {d_cols}) AS (VALUES {values}),
+sc AS ({scored}),
+probe_keys AS (
+  SELECT vec_id, band_key FROM (
+    SELECT vec_id, band_key, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, tbl ORDER BY score ASC, did ASC) AS rnk
+    FROM sc
+  ) WHERE rnk <= {budget}
+  UNION ALL
+  {base_keys}
+),
+ck AS ({corpus_keys})
+SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS doc_id
+FROM probe_keys p JOIN ck c ON c.band_key = p.band_key
+WHERE c.vec_id <> p.vec_id
 """.strip()
 
 

@@ -37,14 +37,26 @@ class OptResult:
     min_len: int
     max_len: int
     avg_len: float
+    std_len: float = 0.0
     extras: dict = field(default_factory=dict)
 
     def cost_estimate(self, n_total: int, n_sample: int) -> float:
-        """hash_time + avg bucket work scaled to the full corpus."""
-        return self.hash_seconds * (n_total / max(1, n_sample)) + self.avg_len
+        """hash_time + expected probe work scaled to the full corpus.
+
+        Probe work is the SIZE-BIASED mean bucket length — a random probe
+        lands in a bucket with probability proportional to its size, so the
+        expected candidates scanned per query is E[s²]/E[s] =
+        avg + var/avg, not the plain average.  That is exactly where the
+        bucket-size std-dev (reference `describe`, mem.rs:156-197) enters
+        the cost model: a skewed distribution at the same average costs
+        more per probe.
+        """
+        probe = self.avg_len + (self.std_len**2) / max(self.avg_len, 1e-12)
+        return self.hash_seconds * (n_total / max(1, n_sample)) + probe
 
 
-def _bucket_stats(bands: DataFrame) -> tuple[int, int, int, float]:
+def _bucket_stats(bands: DataFrame) -> tuple[int, int, int, float, float]:
+    c = F.col("count")
     row = (
         bands.groupBy("band_key").count()
         .agg(
@@ -52,10 +64,18 @@ def _bucket_stats(bands: DataFrame) -> tuple[int, int, int, float]:
             F.min("count").alias("mn"),
             F.max("count").alias("mx"),
             F.avg("count").alias("av"),
+            # population std-dev via the reference's avg(c²)−avg(c)² form
+            F.sqrt(F.avg(c * c) - F.avg(c) * F.avg(c)).alias("sd"),
         )
         .first()
     )
-    return int(row["n"] or 0), int(row["mn"] or 0), int(row["mx"] or 0), float(row["av"] or 0.0)
+    return (
+        int(row["n"] or 0),
+        int(row["mn"] or 0),
+        int(row["mx"] or 0),
+        float(row["av"] or 0.0),
+        float(row["sd"] or 0.0),
+    )
 
 
 def optimize_l2_params(
@@ -74,9 +94,9 @@ def optimize_l2_params(
         l = max(1, estimate_l(delta, p1, k))
         t0 = time.time()
         bands = l2_band_table(sample, l, k, dim, r, seed, id_col, vec_col).persist()
-        n, mn, mx, av = _bucket_stats(bands)
+        n, mn, mx, av, sd = _bucket_stats(bands)
         bands.unpersist()
-        out.append(OptResult(k, l, round(time.time() - t0, 3), n, mn, mx, av,
+        out.append(OptResult(k, l, round(time.time() - t0, 3), n, mn, mx, av, sd,
                              extras={"p1": p1, "r": r}))
     return out
 
@@ -108,9 +128,9 @@ def optimize_srp_params(
         bands = bands.withColumn(
             "band_key", F.concat_ws(":", "band_idx", "band_key")
         ).persist()
-        n, mn, mx, av = _bucket_stats(bands)
+        n, mn, mx, av, sd = _bucket_stats(bands)
         bands.unpersist()
-        out.append(OptResult(k, l, round(time.time() - t0, 3), n, mn, mx, av,
+        out.append(OptResult(k, l, round(time.time() - t0, 3), n, mn, mx, av, sd,
                              extras={"p1": p1, "requested_l": max(1, estimate_l(delta, p1, k))}))
     return out
 

@@ -130,6 +130,10 @@ def test_tuning_grid_search(spark, rand_emb):
     assert [x.k for x in l2_res] == [4, 8]
     for x in l2_res:
         assert x.l >= 1 and x.n_buckets > 0 and x.max_len >= x.min_len
+        # std-dev feeds the cost model (size-biased probe work >= avg)
+        assert x.std_len >= 0.0
+        probe = x.cost_estimate(n_total=70, n_sample=70) - x.hash_seconds
+        assert probe >= x.avg_len - 1e-9
 
     srp_res = optimize_srp_params(rand_emb, dim=16, ks=[4, 8], cosine_sim=0.9)
     assert all(x.k * x.l <= 63 for x in srp_res)
