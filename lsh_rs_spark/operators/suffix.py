@@ -516,6 +516,7 @@ def substring_dup_pairs(
     text_col: str = "text",
     max_group_docs: int = 200,
     use_kernel: bool = True,
+    anchor_mode: str = "auto",
 ) -> DataFrame:
     """(src, dst, match_len): pairs sharing a verbatim run >= min_match.
 
@@ -523,13 +524,32 @@ def substring_dup_pairs(
     longer runs are reported with match_len capped near 2*snippet_radius.
     Hot anchors (> max_group_docs docs) are dropped — counted via
     ``hot_anchor_count`` if needed by the caller.
+
+    ``anchor_mode`` (kernel path only):
+      * ``"auto"``/``"two_phase"`` (default): two-phase anchors — phase 1
+        ships 24-byte (doc_id, anchor, pos) rows; snippet bytes are cut
+        ONLY for anchors colliding in >= 2 documents.  A single-doc anchor
+        can never form a pair, so the emitted pair set is identical while
+        the snippet shuffle shrinks by the non-colliding fraction (~10-50×
+        at sparse web dup rates — measured in bench.py as
+        substring_snippet_bytes_{single,two}_phase).
+      * ``"single"``: one pass, a snippet per anchor — fewer stages; only
+        wins when almost every anchor collides (near-dup-dense corpora).
     """
     if k_gram >= min_match:
         raise ValueError("k_gram must be < min_match")
     if use_kernel:
-        anchors = winnowing_anchors_kernel(
-            docs, min_match, k_gram, snippet_radius, id_col, text_col
-        )
+        if anchor_mode in ("auto", "two_phase"):
+            anchors = winnowing_anchors_two_phase(
+                docs, min_match, k_gram, snippet_radius, id_col, text_col,
+                max_group_docs=max_group_docs,
+            )
+        elif anchor_mode == "single":
+            anchors = winnowing_anchors_kernel(
+                docs, min_match, k_gram, snippet_radius, id_col, text_col
+            )
+        else:
+            raise ValueError(f"unknown anchor_mode {anchor_mode!r}")
     else:
         anchors = winnowing_anchors(
             docs, min_match, k_gram, snippet_radius, id_col, text_col

@@ -45,6 +45,7 @@ class StageStore:
     root: str
     config_fingerprint: str = ""
     use_iceberg: bool | None = None
+    namespace: str = "lsh_rs"
     _catalog: str | None = field(default=None, init=False)
 
     def __post_init__(self) -> None:
@@ -52,6 +53,13 @@ class StageStore:
         self._catalog = _iceberg_catalog(self.spark)
         if self.use_iceberg is None:
             self.use_iceberg = self._catalog is not None
+        if self.use_iceberg and self._catalog is None:
+            raise ValueError(
+                "use_iceberg=True but no spark.sql.catalog.* is configured"
+            )
+
+    def _identifier(self, name: str) -> str:
+        return f"{self._catalog}.{self.namespace}.{name}"
 
     # -- paths ---------------------------------------------------------
     def _dir(self, name: str) -> str:
@@ -77,23 +85,22 @@ class StageStore:
         sort_within: tuple[str, ...] = (),
         counters: dict | None = None,
     ) -> dict:
-        """Write a stage + seal it.  Returns the manifest."""
+        """Write a stage + seal it.  Returns the manifest.
+
+        Backend dispatch: an Iceberg catalog routes data through
+        ``df.writeTo(catalog.ns.name)`` (atomic table replace — Iceberg's
+        snapshot commit IS the data commit point); otherwise plain parquet
+        behind an atomic directory swap.  Both branches seal the stage with
+        the SAME manifest (written after the data commit, so a crash
+        between data and manifest reruns the idempotent stage write)."""
         t0 = time.time()
-        out = self._dir(name)
-        tmp = out + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        if os.path.exists(out):
-            shutil.rmtree(out)
-        w = df
         if sort_within:
-            w = w.sortWithinPartitions(*sort_within)
-        writer = w.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
+            df = df.sortWithinPartitions(*sort_within)
+        if self.use_iceberg:
+            written = self._write_iceberg(df, name, partition_by)
+        else:
+            written = self._write_parquet(df, name, partition_by)
         # lineage counters from the committed bytes, not the plan
-        written = self.spark.read.parquet(tmp)
         per_part = (
             written.groupBy(F.spark_partition_id().alias("pid"))
             .count()
@@ -101,6 +108,8 @@ class StageStore:
         )
         manifest = {
             "stage": name,
+            "backend": "iceberg" if self.use_iceberg else "parquet",
+            "table": self._identifier(name) if self.use_iceberg else None,
             "rows": sum(r["count"] for r in per_part),
             "n_read_partitions": len(per_part),
             "partition_rows": {str(r["pid"]): r["count"] for r in per_part},
@@ -111,20 +120,70 @@ class StageStore:
             "write_seconds": round(time.time() - t0, 3),
             "counters": counters or {},
         }
-        with open(os.path.join(tmp, MANIFEST + ".tmp"), "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(
-            os.path.join(tmp, MANIFEST + ".tmp"), os.path.join(tmp, MANIFEST)
-        )
-        os.replace(tmp, out)  # atomic dir swap: commit point
+        self._seal(name, manifest)
         return manifest
+
+    def _write_parquet(
+        self, df: DataFrame, name: str, partition_by: tuple[str, ...]
+    ) -> DataFrame:
+        out = self._dir(name)
+        tmp = out + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        return self.spark.read.parquet(tmp)
+
+    def _write_iceberg(
+        self, df: DataFrame, name: str, partition_by: tuple[str, ...]
+    ) -> DataFrame:
+        """DataFrameWriterV2 path: createOrReplace is a single atomic
+        Iceberg snapshot commit (the reference's durable-backend contract,
+        `lsh-rs/src/table/sqlite.rs:107-356` — transactional replace)."""
+        ident = self._identifier(name)
+        writer = df.writeTo(ident).using("iceberg")
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return self.spark.read.table(ident)
+
+    def _seal(self, name: str, manifest: dict) -> None:
+        """Atomically place the _COMMITTED manifest.
+
+        Parquet branch: the data already sits in ``<name>.tmp``; manifest
+        lands inside it and the directory swap is the commit point.
+        Iceberg branch: the table commit already happened; only the local
+        manifest marker moves (single atomic rename)."""
+        out = self._dir(name)
+        tmp = out + ".tmp"
+        if os.path.isdir(tmp):  # parquet: swap the sealed tmp dir in
+            with open(os.path.join(tmp, MANIFEST + ".tmp"), "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(
+                os.path.join(tmp, MANIFEST + ".tmp"), os.path.join(tmp, MANIFEST)
+            )
+            os.replace(tmp, out)  # atomic dir swap: commit point
+        else:  # iceberg: manifest marker only
+            os.makedirs(out, exist_ok=True)
+            mtmp = os.path.join(out, MANIFEST + ".tmp")
+            with open(mtmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(mtmp, os.path.join(out, MANIFEST))
 
     def read(self, name: str) -> DataFrame:
         if not self.is_committed(name):
             raise FileNotFoundError(f"stage {name!r} not committed under {self.root}")
+        if self.use_iceberg:
+            return self.spark.read.table(self._identifier(name))
         return self.spark.read.parquet(self._dir(name))
 
     def drop(self, name: str) -> None:
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._identifier(name)}")
         d = self._dir(name)
         if os.path.exists(d):
             shutil.rmtree(d)
