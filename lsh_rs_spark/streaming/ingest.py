@@ -78,6 +78,141 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _incremental_processor(
+    workdir: str,
+    sign_fn,
+    band_fn,
+    verify_fn,
+    sig_cols: list[str],
+    max_bucket_size: int,
+    compact_every: int,
+):
+    """foreachBatch body shared by every hash family (MinHash, SimHash):
+    sign → probe store → verify → append; hot-bucket guard maintained
+    incrementally.  ``sign_fn(batch_df) → sig``, ``band_fn(sig) →
+    (band_idx, band_key, doc_id)``, ``verify_fn(pairs, all_sig) → edges``;
+    ``sig_cols`` is what the signature store persists (what verify needs).
+    """
+    import json
+    import os
+    import uuid
+
+    from lsh_rs_spark.operators.lsh import pairs_from_buckets
+
+    buckets_dir = f"{workdir}/buckets"
+    edges_dir = f"{workdir}/edges"
+    sig_dir = f"{workdir}/signatures"
+    counts_dir = f"{workdir}/bucket_counts"
+    hot_dir = f"{workdir}/hot_buckets"
+    metrics_dir = f"{workdir}/metrics"
+    KEY = ["band_idx", "band_key"]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        metrics: dict = {"batch_id": batch_id}
+        sig = sign_fn(batch_df).persist()
+        new_buckets = band_fn(sig).persist()
+        batch_counts = (
+            new_buckets.groupBy(*KEY).agg(F.count("*").alias("n")).persist()
+        )
+
+        # -- incremental hot-set maintenance (O(batch) + O(hot)) ---------
+        prev_hot = _read_if_exists(spark, hot_dir)
+        counts_log = _read_if_exists(spark, counts_dir)
+        if counts_log is not None:
+            # cumulative sizes for THIS batch's keys only: count-log scan
+            # restricted by a broadcast semi-join on the batch keys (3 int
+            # columns, no doc ids — never the bucket store itself)
+            prior = (
+                counts_log.join(F.broadcast(batch_counts.select(*KEY)), KEY)
+                .groupBy(*KEY)
+                .agg(F.sum("n").alias("n_prior"))
+            )
+        else:
+            prior = None
+        if prior is not None:
+            cum = batch_counts.join(prior, KEY, "left").select(
+                *KEY,
+                (F.col("n") + F.coalesce(F.col("n_prior"), F.lit(0))).alias("n_cum"),
+            )
+        else:
+            cum = batch_counts.select(*KEY, F.col("n").alias("n_cum"))
+        newly_hot = cum.where(F.col("n_cum") > max_bucket_size).select(*KEY)
+        if prev_hot is not None:
+            newly_hot = newly_hot.join(F.broadcast(prev_hot), KEY, "left_anti")
+        newly_hot = newly_hot.persist()
+        metrics["newly_hot_buckets"] = newly_hot.count()
+        hot = (
+            prev_hot.unionByName(newly_hot) if prev_hot is not None else newly_hot
+        ).persist()
+        metrics["hot_buckets_total"] = hot.count()
+
+        # -- probe: new keys vs stored keys (new×old), plus new×new ------
+        store = _read_if_exists(spark, buckets_dir)
+        if store is not None:
+            # hot-bucket guard: a boilerplate bucket past the cap would fan
+            # every colliding new doc out against its whole membership.
+            # Guarded rows are counted, not silently dropped (ADVICE r2).
+            hot_new = new_buckets.join(F.broadcast(hot), KEY, "left_semi")
+            metrics["probe_rows_skipped_hot"] = hot_new.count()
+            probed = new_buckets.join(F.broadcast(hot), KEY, "left_anti")
+            store = store.join(F.broadcast(hot), KEY, "left_anti")
+            probe = probed.alias("nb").join(
+                store.alias("st"), KEY
+            ).select(
+                F.col("nb.doc_id").alias("src_new"),
+                F.col("st.doc_id").alias("dst_old"),
+            ).where(F.col("src_new") != F.col("dst_old")).select(
+                F.least("src_new", "dst_old").alias("src"),
+                F.greatest("src_new", "dst_old").alias("dst"),
+            ).distinct()
+            intra = pairs_from_buckets(new_buckets, KEY, max_bucket_size)
+            pairs = probe.unionByName(intra).distinct()
+            all_sig = spark.read.parquet(sig_dir).unionByName(
+                sig.select(*sig_cols)
+            )
+        else:
+            metrics["probe_rows_skipped_hot"] = 0
+            pairs = pairs_from_buckets(new_buckets, KEY, max_bucket_size)
+            all_sig = sig
+        edges = verify_fn(pairs, all_sig)
+        edges.write.mode("append").parquet(edges_dir)
+        new_buckets.write.mode("append").parquet(buckets_dir)
+        sig.select(*sig_cols).write.mode("append").parquet(sig_dir)
+
+        # -- maintenance appends ------------------------------------------
+        batch_counts.write.mode("append").parquet(counts_dir)
+        if metrics["newly_hot_buckets"]:
+            newly_hot.write.mode("append").parquet(hot_dir)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compacted = (
+                spark.read.parquet(counts_dir)
+                .groupBy(*KEY)
+                .agg(F.sum("n").alias("n"))
+                .localCheckpoint(eager=True)  # sever lineage before overwrite
+            )
+            compacted.coalesce(4).write.mode("overwrite").parquet(counts_dir)
+            metrics["counts_log_compacted"] = True
+        os.makedirs(metrics_dir, exist_ok=True)
+        tmp = os.path.join(metrics_dir, f".batch_{batch_id}_{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(metrics, f)
+        os.replace(tmp, os.path.join(metrics_dir, f"batch_{batch_id}.json"))
+        for df in (sig, new_buckets, batch_counts, newly_hot, hot):
+            df.unpersist()
+
+    return process
+
+
+def _start(pages: DataFrame, process, workdir: str, trigger_available_now: bool):
+    w = pages.writeStream.foreachBatch(process).option(
+        "checkpointLocation", f"{workdir}/_checkpoint"
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def start_incremental_dedup(
     pages: DataFrame,
     cfg: DedupConfig,
@@ -85,8 +220,8 @@ def start_incremental_dedup(
     trigger_available_now: bool = True,
     compact_every: int = 16,
 ):
-    """Incremental near-dup detection: the reference's `store_vec` + query
-    lifecycle (`lsh-rs/src/lsh/lsh.rs:434-445`) as a streaming job.
+    """Incremental MinHash near-dup detection: the reference's `store_vec` +
+    query lifecycle (`lsh-rs/src/lsh/lsh.rs:434-445`) as a streaming job.
 
     Per micro-batch (foreachBatch, so the batch operators are reused
     verbatim):
@@ -118,121 +253,61 @@ def start_incremental_dedup(
     A replayed batch may double-count in the count log; that only makes the
     guard trip earlier (conservative: more counted drops, never more pairs).
     """
-    import json
-    import os
-    import uuid
-
-    from lsh_rs_spark.operators.lsh import pairs_from_buckets
     from lsh_rs_spark.operators.verify import jaccard_edges
 
-    buckets_dir = f"{workdir}/buckets"
-    edges_dir = f"{workdir}/edges"
-    sig_dir = f"{workdir}/signatures"
-    counts_dir = f"{workdir}/bucket_counts"
-    hot_dir = f"{workdir}/hot_buckets"
-    metrics_dir = f"{workdir}/metrics"
-    KEY = ["band_idx", "band_key"]
+    process = _incremental_processor(
+        workdir,
+        sign_fn=lambda b: signatures(b, cfg),
+        band_fn=lambda s: explode_bands(s, cfg),
+        verify_fn=lambda pairs, all_sig: jaccard_edges(pairs, all_sig, cfg),
+        sig_cols=["doc_id", "shingles"],
+        max_bucket_size=cfg.max_bucket_size,
+        compact_every=compact_every,
+    )
+    return _start(pages, process, workdir, trigger_available_now)
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        metrics: dict = {"batch_id": batch_id}
-        sig = signatures(batch_df, cfg).persist()
-        new_buckets = explode_bands(sig, cfg).persist()
-        batch_counts = (
-            new_buckets.groupBy(*KEY).agg(F.count("*").alias("n")).persist()
+
+def start_incremental_simhash_dedup(
+    pages: DataFrame,
+    cfg,
+    workdir: str,
+    max_bucket_size: int = 10_000,
+    trigger_available_now: bool = True,
+    compact_every: int = 16,
+):
+    """Incremental SimHash near-dup detection — the same store_vec lifecycle
+    as :func:`start_incremental_dedup`, Hamming-LSH family: sketch the new
+    docs, band the sketch, probe the accumulated store, verify with exact
+    ``bit_count(xor)``.  The signature store persists (doc_id, simhash) —
+    8 bytes/doc, so verification joins stay tiny.  ``cfg`` is a
+    SimHashConfig."""
+    from lsh_rs_spark.functions.simhash import hamming, sketch_bands
+    from lsh_rs_spark.operators.simhash_ops import simhash_sketches
+
+    def verify(pairs: DataFrame, all_sig: DataFrame) -> DataFrame:
+        return (
+            pairs
+            .join(all_sig.select(F.col("doc_id").alias("src"),
+                                 F.col("simhash").alias("h_src")), "src")
+            .join(all_sig.select(F.col("doc_id").alias("dst"),
+                                 F.col("simhash").alias("h_dst")), "dst")
+            .withColumn("hamming", hamming("h_src", "h_dst").cast("int"))
+            .where(F.col("hamming") <= cfg.hamming_threshold)
+            .select("src", "dst", "hamming")
         )
 
-        # -- incremental hot-set maintenance (O(batch) + O(hot)) ---------
-        prev_hot = _read_if_exists(spark, hot_dir)
-        counts_log = _read_if_exists(spark, counts_dir)
-        if counts_log is not None:
-            # cumulative sizes for THIS batch's keys only: count-log scan
-            # restricted by a broadcast semi-join on the batch keys (3 int
-            # columns, no doc ids — never the bucket store itself)
-            prior = (
-                counts_log.join(F.broadcast(batch_counts.select(*KEY)), KEY)
-                .groupBy(*KEY)
-                .agg(F.sum("n").alias("n_prior"))
-            )
-        else:
-            prior = None
-        if prior is not None:
-            cum = batch_counts.join(prior, KEY, "left").select(
-                *KEY,
-                (F.col("n") + F.coalesce(F.col("n_prior"), F.lit(0))).alias("n_cum"),
-            )
-        else:
-            cum = batch_counts.select(*KEY, F.col("n").alias("n_cum"))
-        newly_hot = cum.where(F.col("n_cum") > cfg.max_bucket_size).select(*KEY)
-        if prev_hot is not None:
-            newly_hot = newly_hot.join(F.broadcast(prev_hot), KEY, "left_anti")
-        newly_hot = newly_hot.persist()
-        metrics["newly_hot_buckets"] = newly_hot.count()
-        hot = (
-            prev_hot.unionByName(newly_hot) if prev_hot is not None else newly_hot
-        ).persist()
-        metrics["hot_buckets_total"] = hot.count()
-
-        # -- probe: new keys vs stored keys (new×old), plus new×new ------
-        store = _read_if_exists(spark, buckets_dir)
-        if store is not None:
-            # hot-bucket guard: a boilerplate bucket past the cap would fan
-            # every colliding new doc out against its whole membership.
-            # Guarded rows are counted, not silently dropped (ADVICE r2).
-            hot_new = new_buckets.join(F.broadcast(hot), KEY, "left_semi")
-            metrics["probe_rows_skipped_hot"] = hot_new.count()
-            probed = new_buckets.join(F.broadcast(hot), KEY, "left_anti")
-            store = store.join(F.broadcast(hot), KEY, "left_anti")
-            probe = probed.alias("nb").join(
-                store.alias("st"), KEY
-            ).select(
-                F.col("nb.doc_id").alias("src_new"),
-                F.col("st.doc_id").alias("dst_old"),
-            ).where(F.col("src_new") != F.col("dst_old")).select(
-                F.least("src_new", "dst_old").alias("src"),
-                F.greatest("src_new", "dst_old").alias("dst"),
-            ).distinct()
-            intra = pairs_from_buckets(new_buckets, KEY, cfg.max_bucket_size)
-            pairs = probe.unionByName(intra).distinct()
-            all_sig = spark.read.parquet(sig_dir).unionByName(
-                sig.select("doc_id", "shingles")
-            )
-        else:
-            metrics["probe_rows_skipped_hot"] = 0
-            pairs = pairs_from_buckets(new_buckets, KEY, cfg.max_bucket_size)
-            all_sig = sig
-        edges = jaccard_edges(pairs, all_sig, cfg)
-        edges.write.mode("append").parquet(edges_dir)
-        new_buckets.write.mode("append").parquet(buckets_dir)
-        sig.select("doc_id", "shingles").write.mode("append").parquet(sig_dir)
-
-        # -- maintenance appends ------------------------------------------
-        batch_counts.write.mode("append").parquet(counts_dir)
-        if metrics["newly_hot_buckets"]:
-            newly_hot.write.mode("append").parquet(hot_dir)
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compacted = (
-                spark.read.parquet(counts_dir)
-                .groupBy(*KEY)
-                .agg(F.sum("n").alias("n"))
-                .localCheckpoint(eager=True)  # sever lineage before overwrite
-            )
-            compacted.coalesce(4).write.mode("overwrite").parquet(counts_dir)
-            metrics["counts_log_compacted"] = True
-        os.makedirs(metrics_dir, exist_ok=True)
-        tmp = os.path.join(metrics_dir, f".batch_{batch_id}_{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(metrics, f)
-        os.replace(tmp, os.path.join(metrics_dir, f"batch_{batch_id}.json"))
-        for df in (sig, new_buckets, batch_counts, newly_hot, hot):
-            df.unpersist()
-
-    w = pages.writeStream.foreachBatch(process).option(
-        "checkpointLocation", f"{workdir}/_checkpoint"
+    process = _incremental_processor(
+        workdir,
+        sign_fn=lambda b: simhash_sketches(b, cfg),
+        band_fn=lambda s: sketch_bands(
+            s, "simhash", "doc_id", cfg.bands, cfg.bits_per_band, "doc_id"
+        ),
+        verify_fn=verify,
+        sig_cols=["doc_id", "simhash"],
+        max_bucket_size=max_bucket_size,
+        compact_every=compact_every,
     )
-    if trigger_available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
+    return _start(pages, process, workdir, trigger_available_now)
 
 
 def start_bucket_sink(

@@ -481,3 +481,42 @@ def test_streaming_hot_bucket_guard_incremental_and_counted(spark, tmp_path):
     assert hot == {k for k, n in want_sizes.items() if n > cfg.max_bucket_size}
     # compaction ran (compact_every=2): log is one row per key
     assert spark.read.parquet(f"{work}/bucket_counts").count() == len(got_sizes)
+
+
+def test_streaming_incremental_simhash_matches_batch(spark, tmp_path):
+    """SimHash family through the same incremental store_vec lifecycle:
+    edges accumulated over 2 micro-batches == batch simhash_near_dup_pairs
+    over the full corpus."""
+    from lsh_rs_spark.config import SimHashConfig
+    from lsh_rs_spark.operators.simhash_ops import simhash_near_dup_pairs
+    from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
+    from lsh_rs_spark.streaming import ingest as SI
+
+    cfg = SimHashConfig(n_bits=32, bands=4, hamming_threshold=4,
+                        hash_family="xxhash64")
+    pages = with_doc_ids(synth_webpages(spark, 150, partitions=2)).persist()
+    src = str(tmp_path / "src")
+    pages.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    pages.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, "
+            "lang STRING, doc_id LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = str(tmp_path / "work")
+    SI.start_incremental_simhash_dedup(stream, cfg, work).awaitTermination(120)
+
+    got = {
+        (r.src, r.dst, r.hamming)
+        for r in spark.read.parquet(f"{work}/edges").collect()
+    }
+    want = {
+        (min(r.src, r.dst), max(r.src, r.dst), r.hamming)
+        for r in simhash_near_dup_pairs(pages, cfg).collect()
+    }
+    assert want, "corpus must contain simhash near-dups"
+    assert got == want
