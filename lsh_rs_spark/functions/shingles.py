@@ -96,6 +96,48 @@ def shingle_ids_col(cfg: DedupConfig, text: Column | str = "text") -> Column:
     )
 
 
+def word_hash_shingle_ids(
+    docs, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(doc_id, shingles ARRAY<BIGINT>) — fast word-n-gram ids for the
+    xxhash64 production family (DataFrame-in/DataFrame-out).
+
+    Hash each WORD once, then combine n consecutive word-hashes with one
+    fixed-width ``xxhash64(h_i, …, h_{i+n-1})`` per gram — no n-gram string
+    is ever materialized (the ``concat_ws(slice(...))`` of the generic
+    builder allocates a 3-slice array + a joined string per gram, which is
+    ~8× slower at 7M shingles/56k docs).  Distinct n-grams map to distinct
+    hash tuples modulo 64-bit word collisions, so Jaccard over these ids is
+    the same estimator as over the string shingles.
+
+    Two SELECTs on purpose: the word-hash array must cross a projection
+    barrier before the gram lambda indexes it — element_at against an
+    unmaterialized transform() re-evaluates the whole inner transform per
+    access (O(words²) per doc).
+    """
+    n = cfg.shingle_size
+    t = _maybe_lower(F.col(text_col), cfg.lowercase)
+    w = F.split(t, " ")
+    step1 = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(w, lambda x: F.xxhash64(x)).alias("_wh"),
+        # short docs (< n words) → one whole-text shingle, same rule as
+        # word_shingles(); hashed here because step 2 drops the text
+        F.xxhash64(F.concat_ws(" ", w)).alias("_short"),
+    )
+    wh = F.col("_wh")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(wh) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(wh, i + k) for k in range(n)]),
+    )
+    return step1.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(F.size(wh) >= n, grams).otherwise(F.array(F.col("_short")))
+        ).alias("shingles"),
+    )
+
+
 def shingle_set_sql(cfg: DedupConfig, docs_rel: str = "documents") -> str:
     """DuckDB CTE body: (doc_id, sid) — one row per distinct shingle id.
 

@@ -36,10 +36,19 @@ def signatures(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> Dat
 
     Production path: shingling/hashing JVM-side, MinHash in one Arrow kernel.
     """
-    sh = docs.where(F.col("text").isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        shingle_ids_col(cfg).alias("shingles"),
-    )
+    if cfg.hash_family == "xxhash64" and cfg.shingle_mode == "word":
+        # production fast path: per-word hash + fixed-width gram combine —
+        # no n-gram strings materialized (~8× on the shingle stage); the
+        # md5_64 oracle family keeps the string-gram builder, which the
+        # DuckDB twins replicate exactly
+        from lsh_rs_spark.functions.shingles import word_hash_shingle_ids
+
+        sh = word_hash_shingle_ids(docs, cfg, id_col)
+    else:
+        sh = docs.where(F.col("text").isNotNull()).select(
+            F.col(id_col).alias("doc_id"),
+            shingle_ids_col(cfg).alias("shingles"),
+        )
     return sh.withColumn("minhash", make_minhash_udf(cfg)("shingles"))
 
 
