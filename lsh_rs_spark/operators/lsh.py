@@ -55,18 +55,33 @@ def signatures(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> Dat
 def explode_bands(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(doc_id, minhash) → long (band_idx, band_key, doc_id).
 
-    band_key is the '-'-joined slice of r minhash values — the Spark
-    equivalent of the reference's serialized hash blob key.
+    Oracle family (md5_64): band_key is the '-'-joined slice of r minhash
+    values — the Spark equivalent of the reference's serialized hash blob
+    key, and exactly what the DuckDB twins compute.
+
+    Production family (xxhash64): band_key is ``xxhash64(slice)`` — an
+    8-byte long instead of an ~88-char string.  The key only ever feeds
+    equality grouping/joins, so hashing it preserves semantics up to
+    64-bit collisions, and a collision merely merges two buckets whose
+    spurious candidate pairs the exact-verify stage then rejects — recall
+    can only go up.  At scale this cuts the pairing-shuffle key bytes
+    ~10×, which is the dominant shuffle of the whole pipeline.
     """
     r = cfg.rows_per_band
+    if cfg.hash_family == "xxhash64":
+        def key(bi):
+            return F.xxhash64(F.slice("minhash", bi * r + 1, r))
+    else:
+        def key(bi):
+            return F.concat_ws(
+                "-",
+                F.transform(F.slice("minhash", bi * r + 1, r), lambda h: h.cast("string")),
+            )
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
         lambda bi: F.struct(
             bi.cast("int").alias("band_idx"),
-            F.concat_ws(
-                "-",
-                F.transform(F.slice("minhash", bi * r + 1, r), lambda h: h.cast("string")),
-            ).alias("band_key"),
+            key(bi).alias("band_key"),
         ),
     )
     return (

@@ -116,6 +116,7 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
 spark = (SparkSession.builder.master("local[32]")
+    .config("spark.driver.memory", "12g")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 with_doc_ids(synth_webpages(spark, {n}, partitions=64)) \
