@@ -30,19 +30,34 @@ def jaccard_edges(
 ) -> DataFrame:
     """Exact Jaccard for each candidate pair; keep >= threshold.
 
-    Plan shape: two joins resolving each pair side to its (distinct-id)
-    shingle array, then **in-row** ``size(array_intersect(...))`` — fully
-    codegen, no explode, no per-pair groupBy.  The shuffles are keyed by
-    doc ids (well-distributed), and the per-task state is one pair row with
-    its two arrays — bounded by document size, independent of corpus size.
-    Identical output to the relational explode form (``jaccard_edges_exploded``,
-    kept for cross-checking): shingle ids are distinct per doc, so
-    ``size(array_intersect)`` equals the exploded match count exactly.
+    Plan shape: the signature table is first semi-join-pruned to the docs
+    that actually appear in a candidate pair (typically a few % of the
+    corpus at web dup rates) and materialized — ONE stream over the big
+    table instead of two; the two per-side resolution joins then touch only
+    the pruned set, followed by **in-row** ``size(array_intersect(...))``
+    — fully codegen, no explode, no per-pair groupBy.  AQE picks the
+    semi-join strategy from the candidate list's runtime size (broadcast
+    when it fits, doc-id-keyed shuffle otherwise — doc ids are
+    well-distributed either way).  Identical output to the relational
+    explode form (``jaccard_edges_exploded``, kept for cross-checking):
+    shingle ids are distinct per doc, so ``size(array_intersect)`` equals
+    the exploded match count exactly.
     """
+    cand_docs = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    pruned = (
+        sig.select("doc_id", "shingles")
+        .join(cand_docs, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)  # pair-docs only: tiny; sever lineage so
+        # the two per-side joins below don't re-stream the full corpus
+    )
     res = (
         pairs
-        .join(sig.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_src")), "src")
-        .join(sig.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_dst")), "dst")
+        .join(pruned.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_src")), "src")
+        .join(pruned.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_dst")), "dst")
         .withColumn("n_common", F.size(F.array_intersect("sh_src", "sh_dst")).cast("long"))
         .withColumn(
             "n_union",
