@@ -117,7 +117,10 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
             F.sum("bucket_size").alias("n_entries"),
             F.avg("bucket_size").alias("avg_bucket_size"),
             F.round(
-                F.sqrt(F.avg(c * c) - F.avg(c) * F.avg(c)), 9
+                # GREATEST(0, ·) clamp: FP rounding can drive the variance
+                # a last-ulp negative and sqrt(neg)=NaN (mirrored in the
+                # DuckDB twin so the doubles still match bit-for-bit)
+                F.sqrt(F.greatest(F.lit(0.0), F.avg(c * c) - F.avg(c) * F.avg(c))), 9
             ).alias("std_bucket_size"),
             F.min("bucket_size").alias("min_bucket_size"),
             F.max("bucket_size").alias("max_bucket_size"),

@@ -127,8 +127,8 @@ SELECT band_idx,
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(SUM(bucket_size) AS BIGINT) AS n_entries,
        AVG(bucket_size) AS avg_bucket_size,
-       ROUND(SQRT(AVG(bucket_size * bucket_size)
-                  - AVG(bucket_size) * AVG(bucket_size)), 9)
+       ROUND(SQRT(GREATEST(0.0, AVG(bucket_size * bucket_size)
+                  - AVG(bucket_size) * AVG(bucket_size))), 9)
          AS std_bucket_size,
        CAST(MIN(bucket_size) AS BIGINT) AS min_bucket_size,
        CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size,
@@ -302,7 +302,7 @@ def q_exact_dup_edges() -> str:
     """Twin of dedup.exact_dup_edges (the pipeline's scale form): one row
     (rep_id, doc_id) per non-representative member of an identical-text
     group.  DuckDB groups on raw text; Spark's sha256 shuffle key yields the
-    same groups (128-bit collisions are ~n²/2¹²⁹)."""
+    same groups (256-bit collisions are ~n²/2²⁵⁷)."""
     return """
 WITH h AS (
   SELECT doc_id, text FROM documents WHERE text IS NOT NULL

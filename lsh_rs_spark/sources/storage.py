@@ -157,10 +157,15 @@ class StageStore:
         Parquet branch: the data already sits in ``<name>.tmp``; manifest
         lands inside it and the directory swap is the commit point.
         Iceberg branch: the table commit already happened; only the local
-        manifest marker moves (single atomic rename)."""
+        manifest marker moves (single atomic rename).  Dispatch is on
+        ``self.use_iceberg``, NOT on tmp-dir existence — a stale
+        ``<name>.tmp`` left by an earlier parquet-mode run must never be
+        swapped in as if it were the Iceberg data commit."""
         out = self._dir(name)
         tmp = out + ".tmp"
-        if os.path.isdir(tmp):  # parquet: swap the sealed tmp dir in
+        if self.use_iceberg and os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # stale parquet-mode leftover, not our data
+        if not self.use_iceberg:  # parquet: swap the sealed tmp dir in
             with open(os.path.join(tmp, MANIFEST + ".tmp"), "w") as f:
                 json.dump(manifest, f, indent=1)
             os.replace(

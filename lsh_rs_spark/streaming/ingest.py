@@ -26,6 +26,32 @@ PAGE_DDL = (
     "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
 )
 
+#: Bump whenever the on-disk encoding of the streaming store changes —
+#: band_key type (string → xxhash64 long in round 3), shingle-id hash
+#: family wiring, signature store columns.  A resume against a workdir
+#: written under a different format would otherwise fail SILENTLY: new
+#: long band keys equi-joined against stored string keys cast to NULL
+#: (every equality false), probes drop to zero, and Jaccard is computed
+#: across incompatible shingle-id spaces (ADVICE r3, medium).
+STREAM_FORMAT_VERSION = 2
+FORMAT_MARKER = "_FORMAT.json"
+
+
+def _format_fingerprint(family: str, cfg) -> str:
+    """Canonical JSON of everything that determines the stored bytes'
+    meaning: code format version + hash family + full config."""
+    import json
+    from dataclasses import asdict
+
+    return json.dumps(
+        {
+            "stream_format_version": STREAM_FORMAT_VERSION,
+            "family": family,
+            "config": asdict(cfg),
+        },
+        sort_keys=True,
+    )
+
 
 def read_page_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
@@ -78,6 +104,40 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _check_or_write_format(workdir: str, fingerprint: str, spark, buckets_dir: str) -> None:
+    """Fail fast on a format/config mismatch before touching the store.
+
+    Bootstrap (no marker, no store) writes the marker atomically; a marker
+    that disagrees with the current fingerprint, or a pre-existing store
+    with no marker at all (legacy / foreign workdir), raises instead of
+    silently producing zero probes."""
+    import os
+
+    path = os.path.join(workdir, FORMAT_MARKER)
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = f.read()
+        if stored != fingerprint:
+            raise ValueError(
+                f"streaming workdir {workdir!r} was written under a different "
+                f"format/config — resuming would silently drop every probe.\n"
+                f"stored:  {stored}\ncurrent: {fingerprint}\n"
+                "Use a fresh workdir (or rebuild the store) instead."
+            )
+        return
+    if _read_if_exists(spark, buckets_dir) is not None:
+        raise ValueError(
+            f"streaming workdir {workdir!r} has a bucket store but no "
+            f"{FORMAT_MARKER} marker; cannot verify the stored format is "
+            "compatible with the current code/config. Use a fresh workdir."
+        )
+    os.makedirs(workdir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(fingerprint)
+    os.replace(tmp, path)
+
+
 def _incremental_processor(
     workdir: str,
     sign_fn,
@@ -86,6 +146,7 @@ def _incremental_processor(
     sig_cols: list[str],
     max_bucket_size: int,
     compact_every: int,
+    format_fingerprint: str = "",
 ):
     """foreachBatch body shared by every hash family (MinHash, SimHash):
     sign → probe store → verify → append; hot-bucket guard maintained
@@ -109,6 +170,8 @@ def _incremental_processor(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if format_fingerprint:
+            _check_or_write_format(workdir, format_fingerprint, spark, buckets_dir)
         metrics: dict = {"batch_id": batch_id}
         sig = sign_fn(batch_df).persist()
         new_buckets = band_fn(sig).persist()
@@ -148,14 +211,19 @@ def _incremental_processor(
         metrics["hot_buckets_total"] = hot.count()
 
         # -- probe: new keys vs stored keys (new×old), plus new×new ------
+        # hot-bucket guard: a boilerplate bucket past the cap would fan
+        # every colliding new doc out against its whole membership.  The
+        # guard covers BOTH probe directions — new×stored AND intra-batch
+        # new×new — so streaming matches batch semantics (batch drops a hot
+        # bucket entirely; a globally-hot but batch-locally-small key must
+        # not leak intra pairs).  Guarded rows are counted, not silently
+        # dropped (ADVICE r2/r3).
+        hot_new = new_buckets.join(F.broadcast(hot), KEY, "left_semi")
+        metrics["probe_rows_skipped_hot"] = hot_new.count()
+        probed = new_buckets.join(F.broadcast(hot), KEY, "left_anti")
+        intra = pairs_from_buckets(probed, KEY, max_bucket_size)
         store = _read_if_exists(spark, buckets_dir)
         if store is not None:
-            # hot-bucket guard: a boilerplate bucket past the cap would fan
-            # every colliding new doc out against its whole membership.
-            # Guarded rows are counted, not silently dropped (ADVICE r2).
-            hot_new = new_buckets.join(F.broadcast(hot), KEY, "left_semi")
-            metrics["probe_rows_skipped_hot"] = hot_new.count()
-            probed = new_buckets.join(F.broadcast(hot), KEY, "left_anti")
             store = store.join(F.broadcast(hot), KEY, "left_anti")
             probe = probed.alias("nb").join(
                 store.alias("st"), KEY
@@ -166,14 +234,12 @@ def _incremental_processor(
                 F.least("src_new", "dst_old").alias("src"),
                 F.greatest("src_new", "dst_old").alias("dst"),
             ).distinct()
-            intra = pairs_from_buckets(new_buckets, KEY, max_bucket_size)
             pairs = probe.unionByName(intra).distinct()
             all_sig = spark.read.parquet(sig_dir).unionByName(
                 sig.select(*sig_cols)
             )
         else:
-            metrics["probe_rows_skipped_hot"] = 0
-            pairs = pairs_from_buckets(new_buckets, KEY, max_bucket_size)
+            pairs = intra
             all_sig = sig
         edges = verify_fn(pairs, all_sig)
         edges.write.mode("append").parquet(edges_dir)
@@ -263,6 +329,7 @@ def start_incremental_dedup(
         sig_cols=["doc_id", "shingles"],
         max_bucket_size=cfg.max_bucket_size,
         compact_every=compact_every,
+        format_fingerprint=_format_fingerprint("minhash", cfg),
     )
     return _start(pages, process, workdir, trigger_available_now)
 
@@ -306,6 +373,7 @@ def start_incremental_simhash_dedup(
         sig_cols=["doc_id", "simhash"],
         max_bucket_size=max_bucket_size,
         compact_every=compact_every,
+        format_fingerprint=_format_fingerprint("simhash", cfg),
     )
     return _start(pages, process, workdir, trigger_available_now)
 

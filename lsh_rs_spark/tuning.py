@@ -64,8 +64,10 @@ def _bucket_stats(bands: DataFrame) -> tuple[int, int, int, float, float]:
             F.min("count").alias("mn"),
             F.max("count").alias("mx"),
             F.avg("count").alias("av"),
-            # population std-dev via the reference's avg(c²)−avg(c)² form
-            F.sqrt(F.avg(c * c) - F.avg(c) * F.avg(c)).alias("sd"),
+            # population std-dev via the reference's avg(c²)−avg(c)² form;
+            # clamped at 0: FP rounding can make the difference slightly
+            # negative, and sqrt(neg)=NaN would poison cost_estimate ranking
+            F.sqrt(F.greatest(F.lit(0.0), F.avg(c * c) - F.avg(c) * F.avg(c))).alias("sd"),
         )
         .first()
     )
