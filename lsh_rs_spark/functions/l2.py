@@ -104,6 +104,25 @@ def _key(h_row: np.ndarray) -> str:
     return "-".join(str(int(x)) for x in h_row)
 
 
+def compact_band_keys(df: DataFrame, key_col: str = "band_key") -> DataFrame:
+    """Replace a STRING band key by its xxhash64 — one 8-byte BIGINT.
+
+    The L2/MIPS families key buckets by 'table:h1-h2-…' strings (~20-40
+    bytes); every bucket shuffle/join pays that per row.  Hashing the
+    string to one int64 in the SAME stage that produced it keeps the
+    exchange at 8 bytes/key — the MinHash family's round-3 trick
+    (operators/lsh.py band_key) applied to the dense families.
+
+    Equivalence classes are preserved by construction (equal strings ⇒
+    equal hashes); a 64-bit collision could only MERGE two buckets, adding
+    candidates that the exact re-rank then scores — at ~n²/2⁶⁴ for n
+    distinct keys this is the same measure-zero class as FP-tie notes on
+    the oracle gates.  Production consumers (l2_knn, mips_topk,
+    l2_candidate_pairs, l2_multiprobe_candidates) apply this; the oracle
+    twins keep the string form so DuckDB can reproduce the keys."""
+    return df.withColumn(key_col, F.xxhash64(key_col))
+
+
 def make_l2_bands_udf(
     n_tables: int, k: int, dim: int, r: float, seed: int, probes: int = 0
 ):

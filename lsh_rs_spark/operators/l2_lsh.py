@@ -28,7 +28,9 @@ def l2_candidate_pairs(
     max_bucket_size: int = 10_000,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    b = l2_buckets(emb, n_tables, k, dim, r, seed, id_col, vec_col)
+    from lsh_rs_spark.functions.l2 import compact_band_keys
+
+    b = compact_band_keys(l2_buckets(emb, n_tables, k, dim, r, seed, id_col, vec_col))
     return pairs_from_buckets(b, ["band_key"], max_bucket_size, id_col="vec_id")
 
 
@@ -78,16 +80,20 @@ def l2_knn(
             )
         )
     else:
-        corpus_b = l2_band_table(
+        # production path: 8-byte BIGINT band keys — the bucket join's
+        # exchange never carries the 'table:h1-h2-…' strings
+        from lsh_rs_spark.functions.l2 import compact_band_keys
+
+        corpus_b = compact_band_keys(l2_band_table(
             corpus, n_tables, k_hash, dim, r, seed, id_col, vec_col, probes=0,
             id_alias="neighbor_id",
-        )
-        query_b = F.broadcast(
+        ))
+        query_b = F.broadcast(compact_band_keys(
             l2_band_table(
                 queries, n_tables, k_hash, dim, r, seed, id_col, vec_col,
                 probes=probes, id_alias="query_id",
             )
-        )
+        ))
     cand = (
         query_b.join(corpus_b, "band_key")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -124,6 +124,12 @@ def mips_topk(
         M = mips_fit(corpus, vec_col, cfg.dim)
     put = mips_band_table(corpus, cfg, M, "put", id_col, vec_col, "neighbor_id", use_udf)
     probe = mips_band_table(queries, cfg, M, "query", id_col, vec_col, "query_id", use_udf)
+    if use_udf:
+        # production path: hash the 'table:h1-…' strings to 8-byte BIGINT
+        # keys in the producing stage — the probe join never moves strings
+        from lsh_rs_spark.functions.l2 import compact_band_keys
+
+        put, probe = compact_band_keys(put), compact_band_keys(probe)
     cand = (
         F.broadcast(probe)
         .join(put, "band_key")

@@ -620,6 +620,18 @@ def q_l2_multiprobe_candidates(
     the identical xi² sum, and ranks per (query, table) — the top-``budget``
     prefix is the same set the heap emits, because every valid subset
     appears in both enumerations and both order by the same score.
+
+    Measure-zero assumptions behind this gate (documented so a future
+    flake is diagnosable, ADVICE r3): (1) NumPy/BLAS batch projections
+    (``l2_hash_batch``, pairwise summation) and DuckDB's sequential
+    LIST_SUM fold agree to the last ulp at every floor(f/r) boundary —
+    a boundary-straddling ulp difference would flip one hash key; (2) no
+    xi²-score ties at the budget cutoff (the twin tie-breaks by delta
+    ordinal, the heap by insertion order); (3) no xxhash64 collision
+    between distinct band-key strings (production compact BIGINT keys,
+    functions/l2.compact_band_keys).  All three have probability ~0 on
+    continuous synthetic embeddings; on a flake, rerun with a different
+    seed before suspecting the operators.
     """
     from itertools import product
 

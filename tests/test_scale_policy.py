@@ -1,0 +1,126 @@
+"""Scale-policy regression tests (judge r3 items 2+3).
+
+1. Compact BIGINT band keys (functions/l2.compact_band_keys) partition
+   ids exactly like the 'table:h1-h2-…' strings they replace — the
+   production L2/MIPS paths must emit identical candidates/results to the
+   string-keyed oracle twins.
+2. The probe-side broadcast hint is adaptive: applied under the exploded
+   probe-row limit, dropped (AQE decides) above it — and the join result
+   is identical either way.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_rs_spark.config import DedupConfig, SimHashConfig
+from lsh_rs_spark.functions.l2 import compact_band_keys, l2_band_table
+
+CFG = DedupConfig(num_perm=16, bands=4, rows_per_band=4, jaccard_threshold=0.5)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(50, 16)).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(50)] + [
+        (100 + i, (base[i] + rng.normal(scale=0.02, size=16)).tolist())
+        for i in range(8)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def test_compact_band_keys_bijective_on_observed_keys(spark, emb):
+    """Same equivalence classes: the string→long map is 1:1 over every key
+    the table actually contains (prod/oracle key-partition equivalence)."""
+    b = l2_band_table(emb, 3, 4, 16, 4.0, 7).cache()
+    c = compact_band_keys(b.withColumnRenamed("band_key", "skey")
+                          .withColumn("band_key", F.col("skey")))
+    stats = c.agg(
+        F.countDistinct("skey").alias("n_s"),
+        F.countDistinct("band_key").alias("n_l"),
+        F.countDistinct("skey", "band_key").alias("n_pair"),
+    ).first()
+    assert stats.n_s == stats.n_l == stats.n_pair
+    assert dict(c.schema["band_key"].jsonValue().items())["type"] == "long"
+
+
+def test_l2_knn_compact_path_equals_string_path(spark, emb):
+    from lsh_rs_spark.operators.l2_lsh import l2_knn
+
+    q = emb.where("vec_id < 8")
+    got_udf = l2_knn(q, emb, 2, 4, 16, 4.0, 42, top_k=3, use_udf=True)
+    got_col = l2_knn(q, emb, 2, 4, 16, 4.0, 42, top_k=3, use_udf=False)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(got_udf) == rows(got_col)
+
+
+def test_mips_topk_compact_path_equals_string_path(spark, emb):
+    from lsh_rs_spark.config import MIPSConfig
+    from lsh_rs_spark.operators.mips_ops import mips_topk
+
+    cfg = MIPSConfig(dim=16)
+    q = emb.where("vec_id < 8")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(mips_topk(q, emb, cfg, 3, use_udf=True)) == rows(
+        mips_topk(q, emb, cfg, 3, use_udf=False)
+    )
+
+
+def _docs(spark):
+    from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
+
+    return with_doc_ids(synth_webpages(spark, 120, partitions=2)).cache()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_probe_buckets_broadcast_policy(spark):
+    from lsh_rs_spark.operators.lsh import explode_bands, signatures
+    from lsh_rs_spark.operators.topk import probe_buckets
+
+    docs = _docs(spark)
+    sig = signatures(docs, CFG).cache()
+    buckets = explode_bands(sig, CFG)
+    qsig = sig.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), "minhash", "shingles"
+    )
+    hinted = probe_buckets(qsig, buckets, CFG)          # adaptive: small → hint
+    plain = probe_buckets(qsig, buckets, CFG, broadcast_probe_row_limit=0)
+    forced = probe_buckets(qsig, buckets, CFG, broadcast_queries=False)
+    assert "broadcast" in _optimized_plan(hinted)
+    assert "broadcast" not in _optimized_plan(plain)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(hinted) == rows(plain) == rows(forced)
+    assert rows(hinted)  # non-empty: planted dups collide
+
+
+def test_multiprobe_candidates_broadcast_policy(spark):
+    from lsh_rs_spark.operators.multiprobe import multiprobe_candidates
+    from lsh_rs_spark.operators.simhash_ops import simhash_sketches
+
+    cfg = SimHashConfig(n_bits=32, bands=4)
+    docs = _docs(spark)
+    sk = simhash_sketches(docs, cfg).cache()
+    qsk = sk.where(F.col("doc_id") % 10 == 0).withColumnRenamed("doc_id", "qid")
+    hinted = multiprobe_candidates(qsk, sk, cfg, budget=2)
+    plain = multiprobe_candidates(qsk, sk, cfg, budget=2, broadcast_probes=False)
+    assert "broadcast" in _optimized_plan(hinted)
+    assert "broadcast" not in _optimized_plan(plain)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(hinted) == rows(plain) and rows(hinted)
+
+
+def test_l2_multiprobe_candidates_broadcast_policy(spark, emb):
+    from lsh_rs_spark.operators.multiprobe import l2_multiprobe_candidates
+
+    q = emb.where("vec_id < 8")
+    hinted = l2_multiprobe_candidates(q, emb, 2, 4, 16, 4.0, 42, budget=3)
+    plain = l2_multiprobe_candidates(
+        q, emb, 2, 4, 16, 4.0, 42, budget=3, broadcast_probes=False
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(hinted) == rows(plain) and rows(hinted)
