@@ -31,11 +31,22 @@ from lsh_rs_spark.functions.minhash import make_minhash_udf
 from lsh_rs_spark.functions.shingles import shingle_ids_col
 
 
-def signatures(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+def signatures(
+    docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
+    use_arrow: bool = True,
+) -> DataFrame:
     """docs(id, text) → (id, shingles ARRAY<BIGINT>, minhash ARRAY<BIGINT>).
 
     Production path: shingling/hashing JVM-side, MinHash in one Arrow kernel.
-    """
+
+    ``use_arrow=True`` (default) signs via ``mapInArrow`` reading the
+    shingle ListArray buffers zero-copy (~5× on the signing stage vs the
+    pandas UDF's per-row ndarray materialization); the kernels are shared,
+    so signatures are bit-identical either way.  Caveat: ``mapInArrow`` is
+    a projection barrier — callers that want only (doc_id, minhash) with
+    column pruning through Catalyst can pass ``use_arrow=False``; the
+    dedup pipeline persists the full table (verify needs shingles), so the
+    default favors the faster kernel transport."""
     if cfg.hash_family == "xxhash64" and cfg.shingle_mode == "word":
         # production fast path: per-word hash + fixed-width gram combine —
         # no n-gram strings materialized (~8× on the shingle stage); the
@@ -48,6 +59,13 @@ def signatures(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> Dat
         sh = docs.where(F.col("text").isNotNull()).select(
             F.col(id_col).alias("doc_id"),
             shingle_ids_col(cfg).alias("shingles"),
+        )
+    if use_arrow:
+        from lsh_rs_spark.functions.minhash import make_minhash_arrow_fn
+
+        return sh.mapInArrow(
+            make_minhash_arrow_fn(cfg),
+            "doc_id long, shingles array<bigint>, minhash array<bigint>",
         )
     return sh.withColumn("minhash", make_minhash_udf(cfg)("shingles"))
 

@@ -38,10 +38,20 @@ def token_hashes(docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id") ->
 
 
 def simhash_sketches(
-    docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", use_udf: bool = True
+    docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", use_udf: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """(doc_id, simhash BIGINT)."""
+    """(doc_id, simhash BIGINT).
+
+    ``use_udf=True`` runs the NumPy bit-vote kernel; with ``use_arrow``
+    (default) it is fed via ``mapInArrow`` reading the token-hash
+    ListArray buffers zero-copy — bit-identical sketches, no per-row
+    ndarray materialization."""
     th = token_hashes(docs, cfg, id_col)
+    if use_udf and use_arrow:
+        from lsh_rs_spark.functions.simhash import make_simhash_arrow_fn
+
+        return th.mapInArrow(make_simhash_arrow_fn(cfg), "doc_id long, simhash long")
     if use_udf:
         return th.select("doc_id", make_simhash_udf(cfg)("tok_hashes").alias("simhash"))
     # Declarative twin: explode token hashes × bit positions, sum ±1 votes.
