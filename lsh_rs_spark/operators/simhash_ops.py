@@ -95,23 +95,67 @@ def simhash_candidate_pairs(
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", use_udf: bool = True
+    docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", use_udf: bool = True,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Full SimHash near-dup path: sketch → band pairs → Hamming filter.
 
-    The sketch table is referenced three times (banding + both join sides)
-    — persist it so the sketch UDF runs once, not 3×.  On a cluster the
-    pipeline's StageStore checkpoint plays this role; inside one query the
-    in-memory persist is the right lever.
+    Fused plan: the 8-byte sketch rides along in the bucket rows, so
+    within-bucket pairs are generated AND Hamming-filtered in-row
+    (``bit_count(xor)``, whole-stage codegen) before anything shuffles.
+    The former plan shuffled every candidate pair three times (distinct +
+    two sketch joins) ahead of the filter — at narrow band keys (8-bit
+    bands → ≤256 buckets/band) candidates outnumber surviving edges
+    ~150:1, so filtering pre-shuffle removes the dominant exchanges.  The
+    final ``distinct`` (same pair found by several bands) runs on the
+    filtered edge set only.  Identical result set to the join form.
+
+    Hot buckets beyond ``max_bucket_size`` are dropped before the in-row
+    explosion (window count on the same partitioning — no extra shuffle),
+    matching ``pairs_from_buckets`` semantics.
     """
-    sk = simhash_sketches(docs, cfg, id_col, use_udf=use_udf).persist()
-    pairs = simhash_candidate_pairs(sk, cfg)
-    skb = sk  # corpus-sized: no broadcast hint, AQE decides
+    from pyspark.sql import Window
+
+    sk = simhash_sketches(docs, cfg, id_col, use_udf=use_udf)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band_idx"),
+                band_expr("simhash", bi, cfg.bits_per_band).alias("band_key"),
+            )
+            for bi in range(cfg.bands)
+        ]
+    )
+    bands = sk.select("doc_id", "simhash", F.explode(arr).alias("b")).select(
+        "b.band_idx", "b.band_key", "doc_id", "simhash"
+    )
+    w = Window.partitionBy("band_idx", "band_key")
+    bands = (
+        bands.withColumn("_bs", F.count("*").over(w))
+        .where((F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size))
+        .drop("_bs")
+    )
+    grouped = bands.groupBy("band_idx", "band_key").agg(
+        F.collect_list(F.struct("doc_id", "simhash")).alias("ds")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda y: F.struct(
+                    F.least(x["doc_id"], y["doc_id"]).alias("src"),
+                    F.greatest(x["doc_id"], y["doc_id"]).alias("dst"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+    kept = F.filter(pair_arr, lambda p: p["hamming"] <= F.lit(cfg.hamming_threshold))
     return (
-        pairs
-        .join(skb.select(F.col("doc_id").alias("src"), F.col("simhash").alias("h_src")), "src")
-        .join(skb.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("h_dst")), "dst")
-        .withColumn("hamming", hamming("h_src", "h_dst").cast("int"))
-        .where(F.col("hamming") <= cfg.hamming_threshold)
-        .select("src", "dst", "hamming")
+        grouped.select(F.explode(kept).alias("p"))
+        .select("p.src", "p.dst", "p.hamming")
+        .distinct()
     )
