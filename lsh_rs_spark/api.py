@@ -12,6 +12,10 @@ returns a DataFrame with the QueryResult columns:
 
 A user of the reference maps:  fit(X) → fit(df); predict(x, k) →
 predict(queries_df, k); QueryResult lists → one row per (query, neighbor).
+``predict(..., with_vectors=True)`` additionally materializes the
+neighbor's payload (embedding vector, or document text for the MinHash
+family) — the reference ``QueryResult.vectors`` field
+(`lsh-py/floky/__init__.py:9-11,235-250`).
 """
 
 from __future__ import annotations
@@ -32,6 +36,22 @@ from lsh_rs_spark.operators.components import (
 )
 
 
+def _attach_payload(
+    res: DataFrame, corpus: DataFrame, id_col: str, payload_col: str, alias: str
+) -> DataFrame:
+    """Join the neighbor's stored payload back onto a predict result —
+    ``QueryResult.vectors`` materialization (S8 join-back packaged into the
+    API return).  Left join: a neighbor always exists in the fitted corpus,
+    but never silently drop a result row if a caller filtered it."""
+    return res.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(payload_col).alias(alias)
+        ),
+        "neighbor_id",
+        "left",
+    ).select(*res.columns, alias)
+
+
 class MinHashLSH:
     """Jaccard family over text documents (≙ MinHash path of the reference,
     `lsh-rs/src/hash.rs:243-303`, surfaced via our DedupConfig)."""
@@ -42,6 +62,8 @@ class MinHashLSH:
         self._buckets: DataFrame | None = None
 
     def fit(self, docs: DataFrame, id_col: str = "doc_id") -> "MinHashLSH":
+        self._docs = docs
+        self._docs_id = id_col
         self._sig = L.signatures(docs, self.cfg, id_col=id_col).persist()
         self._buckets = L.explode_bands(self._sig, self.cfg).persist()
         return self
@@ -52,20 +74,28 @@ class MinHashLSH:
             raise RuntimeError("call fit() first")
         return self._sig
 
-    def predict(self, queries: DataFrame, top_k: int = 5, id_col: str = "doc_id") -> DataFrame:
-        """(query_id, neighbor_id, n_collisions, distance, rank);
-        distance = 1 - exact Jaccard (a proper metric for the family)."""
+    def predict(
+        self, queries: DataFrame, top_k: int = 5, id_col: str = "doc_id",
+        with_vectors: bool = False,
+    ) -> DataFrame:
+        """(query_id, neighbor_id, n_collisions, distance, rank[, text]);
+        distance = 1 - exact Jaccard (a proper metric for the family).
+        ``with_vectors=True`` appends the neighbor document's ``text`` — the
+        family's payload analogue of ``QueryResult.vectors``."""
         qsig = L.signatures(queries, self.cfg, id_col=id_col).withColumnRenamed(
             "doc_id", "query_id"
         )
         res = TK.knn(qsig, self.signatures, self._buckets, top_k, self.cfg)
-        return res.select(
+        res = res.select(
             "query_id",
             F.col("doc_id").alias("neighbor_id"),
             "n_collisions",
             (1.0 - F.col("jaccard")).alias("distance"),
             "rank",
         )
+        if with_vectors:
+            res = _attach_payload(res, self._docs, self._docs_id, "text", "text")
+        return res
 
     def dedup(self, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         """Full clustering: (doc_id, cluster_id, is_representative)."""
@@ -130,14 +160,19 @@ class SrpLSH:
         self._id, self._vec = id_col, vec_col
         return self
 
-    def predict(self, queries: DataFrame, top_k: int = 5) -> DataFrame:
-        """(query_id, neighbor_id, distance, rank); distance = 1 - cosine."""
+    def predict(self, queries: DataFrame, top_k: int = 5,
+                with_vectors: bool = False) -> DataFrame:
+        """(query_id, neighbor_id, distance, rank[, vector]);
+        distance = 1 - cosine."""
         res = ANN.ann_topk(
             queries, self._corpus, self.cfg, top_k, self._id, self._vec
         )
-        return res.select(
+        res = res.select(
             "query_id", "neighbor_id", (1.0 - F.col("cos")).alias("distance"), "rank"
         )
+        if with_vectors:
+            res = _attach_payload(res, self._corpus, self._id, self._vec, "vector")
+        return res
 
 
 class MipsLSH:
@@ -164,9 +199,10 @@ class MipsLSH:
         self.M = mips_fit(emb, vec_col, self.cfg.dim)
         return self
 
-    def predict(self, queries: DataFrame, top_k: int = 5) -> DataFrame:
-        """(query_id, neighbor_id, distance, rank); distance = -dot so that
-        smaller = better, consistent with the other families."""
+    def predict(self, queries: DataFrame, top_k: int = 5,
+                with_vectors: bool = False) -> DataFrame:
+        """(query_id, neighbor_id, distance, rank[, vector]); distance =
+        -dot so that smaller = better, consistent with the other families."""
         from lsh_rs_spark.operators.mips_ops import mips_topk
 
         if self.M is None:
@@ -174,9 +210,12 @@ class MipsLSH:
         res = mips_topk(
             queries, self._corpus, self.cfg, top_k, self.M, self._id, self._vec
         )
-        return res.select(
+        res = res.select(
             "query_id", "neighbor_id", (-F.col("dot")).alias("distance"), "rank"
         )
+        if with_vectors:
+            res = _attach_payload(res, self._corpus, self._id, self._vec, "vector")
+        return res
 
 
 class L2LSH:
@@ -196,11 +235,14 @@ class L2LSH:
         self._id, self._vec = id_col, vec_col
         return self
 
-    def predict(self, queries: DataFrame, top_k: int = 5, probes: int = 0) -> DataFrame:
-        """(query_id, neighbor_id, n_collisions, distance, rank);
+    def predict(self, queries: DataFrame, top_k: int = 5, probes: int = 0,
+                with_vectors: bool = False) -> DataFrame:
+        """(query_id, neighbor_id, n_collisions, distance, rank[, vector]);
         probes>0 enables query-directed multi-probe (M2)."""
         res = L2OP.l2_knn(
             queries, self._corpus, self.L, self.k, self.dim, self.r,
             self.seed, top_k, probes, self._id, self._vec,
-        )
-        return res.withColumnRenamed("dist", "distance")
+        ).withColumnRenamed("dist", "distance")
+        if with_vectors:
+            res = _attach_payload(res, self._corpus, self._id, self._vec, "vector")
+        return res

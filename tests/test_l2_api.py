@@ -183,3 +183,30 @@ def test_simhash_api_dedup_contract(spark):
     assert rows[1][0] == rows[2][0]  # planted twins share a cluster
     assert rows[1][1] and not rows[2][1]  # min id is the representative
     assert rows[3][0] != rows[1][0] and rows[4][0] != rows[1][0]
+
+
+def test_predict_with_vectors_materializes_payload(spark, rand_emb):
+    """QueryResult.vectors parity (`lsh-py/floky/__init__.py:9-11,235-250`):
+    with_vectors=True appends the neighbor's stored payload; row set and
+    ordering columns are unchanged."""
+    model = L2LSH(n_projections=6, n_hash_tables=8, dim=16, r=1.0, seed=3).fit(rand_emb)
+    queries = rand_emb.where("vec_id < 5")
+    plain = model.predict(queries, top_k=2)
+    rich = model.predict(queries, top_k=2, with_vectors=True)
+    assert rich.columns == plain.columns + ["vector"]
+    assert rich.count() == plain.count()
+    got = {r.neighbor_id: r.vector for r in rich.collect()}
+    want = {r.vec_id: r.embedding for r in rand_emb.collect()}
+    assert all(got[i] == want[i] for i in got)
+
+    # MinHash family: payload is the document text
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog"),
+         (2, "the quick brown fox jumps over a lazy cat"),
+         (3, "completely different content here today")],
+        ["doc_id", "text"],
+    )
+    m = MinHashLSH(CFG).fit(docs)
+    r = m.predict(docs.where("doc_id = 1"), top_k=1, with_vectors=True)
+    rows = r.collect()
+    assert rows and rows[0].text is not None and "text" in r.columns
