@@ -377,6 +377,15 @@ def q_multiprobe_knn_candidates(spark, sf_dir):
     )
 
 
+def q_minhash_multiprobe_candidates(spark, sf_dir):
+    # oracle-gated: MinHash-family multi-probe (second-minimum substitution,
+    # kperm) — DuckDB ranks the same integer gap scores and unions the same
+    # base+substituted bucket keys (pure int64 → exact parity)
+    docs = _docs(spark, sf_dir)
+    q = docs.where(F.col("doc_id") % 25 == 0)
+    return MP.minhash_multiprobe_candidates(q, docs, CFG, budget=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: near-dup clusters on sf0.001 (driver checks rows > 0)."""
     return q_dup_clusters(spark, "/root/testdata/sf0.001")
@@ -419,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dups": q_substring_dups,
         "multiprobe_knn_candidates": q_multiprobe_knn_candidates,
         "l2_multiprobe_candidates": q_l2_multiprobe_candidates,
+        "minhash_multiprobe_candidates": q_minhash_multiprobe_candidates,
     }
 
 
@@ -464,5 +474,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "l2_multiprobe_candidates": O.q_l2_multiprobe_candidates(
             2, 4, 64, 4.0, 42, ANN_QUERY_MOD, budget=4
+        ),
+        "minhash_multiprobe_candidates": O.q_minhash_multiprobe_candidates(
+            CFG, query_mod=25, budget=6
         ),
     }

@@ -817,6 +817,81 @@ WHERE c.doc_id <> p.query_id
 """.strip()
 
 
+def q_minhash_multiprobe_candidates(
+    cfg: DedupConfig, query_mod: int = 25, budget: int = 6
+) -> str:
+    """Exact twin of multiprobe.minhash_multiprobe_candidates
+    (second-minimum substitution probing, kperm family).
+
+    Per (doc, j) the two smallest universal-hash values (ties broken by
+    shingle id) give h1 (the signature) and h2 (the runner-up); probe keys
+    substitute h2 at one position of one band, and the top-``budget``
+    substitutions per query — ranked by the integer gap h2−h1 ascending,
+    position index as tie-break — are unioned with the base keys before
+    the bucket join.  Arithmetic is pure int64 → no FP-tie caveats; the
+    rank order is identical in both engines by construction."""
+    r = cfg.rows_per_band
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+shingle_set AS (
+  SELECT doc_id, {md5_64_sql('s')} AS sid
+  FROM (SELECT doc_id, UNNEST({shingles_sql(cfg)}) AS s FROM docs)
+  GROUP BY doc_id, sid
+),
+hp(j, a, b) AS (VALUES {_hash_params_rows(cfg)}),
+hfull AS (
+  SELECT s.doc_id, hp.j, ((s.sid % {P}) * hp.a + hp.b) % {P} AS h, s.sid
+  FROM shingle_set s CROSS JOIN hp
+),
+r2 AS (
+  SELECT doc_id, j, h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, j ORDER BY h, sid) AS rn
+  FROM hfull
+),
+piv AS (
+  SELECT doc_id, j,
+         MIN(CASE WHEN rn = 1 THEN h END) AS h1,
+         MIN(CASE WHEN rn = 2 THEN h END) AS h2
+  FROM r2 WHERE rn <= 2 GROUP BY doc_id, j
+),
+buckets AS (
+  SELECT doc_id, CAST(j // {r} AS INTEGER) AS band_idx,
+         STRING_AGG(CAST(h1 AS VARCHAR), '-' ORDER BY j) AS band_key
+  FROM piv GROUP BY doc_id, band_idx
+),
+qbase AS (
+  SELECT doc_id, band_idx, band_key FROM buckets WHERE doc_id % {query_mod} = 0
+),
+qsubs AS (
+  SELECT p.doc_id, CAST(p.j // {r} AS INTEGER) AS band_idx,
+         CAST(p.j AS INTEGER) AS sub_j, p.h2 - p.h1 AS score,
+         STRING_AGG(
+           CAST(CASE WHEN q.j = p.j THEN q.h2 ELSE q.h1 END AS VARCHAR),
+           '-' ORDER BY q.j) AS band_key
+  FROM piv p
+  JOIN piv q ON q.doc_id = p.doc_id AND (q.j // {r}) = (p.j // {r})
+  WHERE p.h2 IS NOT NULL AND p.doc_id % {query_mod} = 0
+  GROUP BY p.doc_id, p.j, p.h1, p.h2
+),
+picked AS (
+  SELECT doc_id, band_idx, band_key
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score, sub_j) AS rnk
+    FROM qsubs
+  ) WHERE rnk <= {budget}
+),
+probes AS (
+  SELECT * FROM qbase UNION SELECT * FROM picked
+)
+SELECT DISTINCT pr.doc_id AS query_id, c.doc_id
+FROM probes pr
+JOIN buckets c ON c.band_idx = pr.band_idx AND c.band_key = pr.band_key
+WHERE c.doc_id <> pr.doc_id
+""".strip()
+
+
 def q_substring_dups(min_match: int = 48, k_gram: int = 16) -> str:
     """Ground truth for suffix-array substring dedup: two docs pair iff they
     share a verbatim run >= min_match.
