@@ -382,8 +382,8 @@ def q_minhash_multiprobe_candidates(spark, sf_dir):
     # kperm) — DuckDB ranks the same integer gap scores and unions the same
     # base+substituted bucket keys (pure int64 → exact parity)
     docs = _docs(spark, sf_dir)
-    q = docs.where(F.col("doc_id") % 25 == 0)
-    return MP.minhash_multiprobe_candidates(q, docs, CFG, budget=6)
+    q = docs.where(F.col("doc_id") % 3 == 0)
+    return MP.minhash_multiprobe_candidates(q, docs, CFG, budget=8)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -476,6 +476,6 @@ def oracle_sql() -> dict[str, str]:
             2, 4, 64, 4.0, 42, ANN_QUERY_MOD, budget=4
         ),
         "minhash_multiprobe_candidates": O.q_minhash_multiprobe_candidates(
-            CFG, query_mod=25, budget=6
+            CFG, query_mod=3, budget=8
         ),
     }
