@@ -520,3 +520,43 @@ def test_streaming_incremental_simhash_matches_batch(spark, tmp_path):
     }
     assert want, "corpus must contain simhash near-dups"
     assert got == want
+
+
+def test_streaming_workdir_format_fingerprint_fail_fast(spark, tmp_path):
+    """ADVICE r3 (medium): resuming a streaming workdir under a different
+    config/format must fail fast, not silently drop every probe (long vs
+    string band keys equi-join to NULL)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    from lsh_rs_spark.config import DedupConfig
+    from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
+    from lsh_rs_spark.streaming import ingest as SI
+
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4,
+                      hash_family="xxhash64", jaccard_threshold=0.5)
+    pages = with_doc_ids(synth_webpages(spark, 40, partitions=1))
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    pages.coalesce(1).write.parquet(src)
+    schema = ("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, "
+              "lang STRING, doc_id LONG")
+    s1 = spark.readStream.schema(schema).parquet(src)
+    SI.start_incremental_dedup(s1, cfg, work).awaitTermination(120)
+    assert (tmp_path / "work" / "_FORMAT.json").exists()
+
+    # same config resumes fine (no new files -> no batch, but no error)
+    s2 = spark.readStream.schema(schema).parquet(src)
+    SI.start_incremental_dedup(s2, cfg, work).awaitTermination(60)
+
+    # changed hash family -> incompatible stored bytes -> fail fast
+    bad = DedupConfig(num_perm=16, bands=4, rows_per_band=4,
+                      hash_family="md5_64", jaccard_threshold=0.5)
+    pages.limit(5).coalesce(1).write.mode("append").parquet(src)
+    s3 = spark.readStream.schema(schema).parquet(src)
+    q = SI.start_incremental_dedup(s3, bad, work)
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as ei:
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    assert "different format/config" in str(ei.value)

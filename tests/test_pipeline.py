@@ -314,3 +314,33 @@ def test_stage_store_iceberg_dispatch(spark, tmp_path, monkeypatch):
     assert {k for k in pm} == {k for k in m}
     assert pm["rows"] == m["rows"] and pm["schema"] == m["schema"]
     assert p_store.read("stage1").count() == 10
+
+
+def test_stage_store_iceberg_seal_ignores_stale_parquet_tmp(spark, tmp_path, monkeypatch):
+    """ADVICE r3: _seal must dispatch on use_iceberg, not tmp-dir existence.
+    A stale <name>.tmp left by an earlier parquet-mode run must NOT be
+    swapped in as if it were the Iceberg data commit — it is removed, and
+    only the manifest marker is placed."""
+    import json
+    import os
+
+    from lsh_rs_spark.sources.storage import MANIFEST, StageStore
+
+    store = StageStore(spark, str(tmp_path / "ice"))
+    store._catalog = "ice"
+    store.use_iceberg = True
+    monkeypatch.setattr(store, "_write_iceberg", lambda df, name, pb: df)
+
+    # plant a stale parquet-mode tmp with recognizable junk
+    stale = tmp_path / "ice" / "stage9.tmp"
+    stale.mkdir(parents=True)
+    (stale / "junk.parquet").write_text("stale parquet-mode leftover")
+
+    df = spark.range(7)
+    m = store.write(df, "stage9")
+    out = tmp_path / "ice" / "stage9"
+    assert m["backend"] == "iceberg" and m["rows"] == 7
+    assert not stale.exists()                       # stale tmp removed
+    assert sorted(os.listdir(out)) == [MANIFEST]    # marker only, no junk swap
+    assert json.load(open(out / MANIFEST))["stage"] == "stage9"
+    assert store.is_committed("stage9")
