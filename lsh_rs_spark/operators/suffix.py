@@ -363,7 +363,7 @@ def winnowing_positions_kernel(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "anchor": [], "pos": []}
+            ids, anchors, poss = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None or len(text) < min_match:
                     continue
@@ -371,15 +371,21 @@ def winnowing_positions_kernel(
                 h = _rolling_gram_hashes(data, k_gram)
                 pos = _winnow_positions(h, w)
                 vals = h[pos].astype(np.int64)  # uint64 → signed wrap
-                seen = set()
-                for p, a in zip(pos.tolist(), vals.tolist()):
-                    if a in seen:
-                        continue
-                    seen.add(a)
-                    out["doc_id"].append(int(doc_id))
-                    out["anchor"].append(a)
-                    out["pos"].append(p)
-            yield pd.DataFrame(out)
+                # per-doc anchor dedup keeping the FIRST position — same
+                # semantics as a seen-set scan (np.unique's return_index is
+                # the first occurrence), no per-anchor Python
+                ua, first = np.unique(vals, return_index=True)
+                ids.append(np.full(ua.shape[0], int(doc_id), dtype=np.int64))
+                anchors.append(ua)
+                poss.append(pos[first])
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "anchor": np.concatenate(anchors),
+                        "pos": np.concatenate(poss),
+                    }
+                )
 
     d = docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).where(
         F.col(text_col).isNotNull() & (F.length(text_col) >= min_match)
@@ -425,11 +431,8 @@ def winnowing_anchors_kernel(
                 h = _rolling_gram_hashes(data, k_gram)
                 pos = _winnow_positions(h, w)
                 vals = h[pos].astype(np.int64)
-                seen = set()
-                for p, a in zip(pos.tolist(), vals.tolist()):
-                    if a in seen:
-                        continue
-                    seen.add(a)
+                ua, first = np.unique(vals, return_index=True)
+                for p, a in zip(pos[first].tolist(), ua.tolist()):
                     lo = max(0, p - snippet_radius)
                     out["doc_id"].append(int(doc_id))
                     out["anchor"].append(a)
