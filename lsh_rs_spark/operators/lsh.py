@@ -33,20 +33,23 @@ from lsh_rs_spark.functions.shingles import shingle_ids_col
 
 def signatures(
     docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
-    use_arrow: bool = True,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """docs(id, text) → (id, shingles ARRAY<BIGINT>, minhash ARRAY<BIGINT>).
 
     Production path: shingling/hashing JVM-side, MinHash in one Arrow kernel.
 
-    ``use_arrow=True`` (default) signs via ``mapInArrow`` reading the
-    shingle ListArray buffers zero-copy (~5× on the signing stage vs the
-    pandas UDF's per-row ndarray materialization); the kernels are shared,
-    so signatures are bit-identical either way.  Caveat: ``mapInArrow`` is
-    a projection barrier — callers that want only (doc_id, minhash) with
-    column pruning through Catalyst can pass ``use_arrow=False``; the
-    dedup pipeline persists the full table (verify needs shingles), so the
-    default favors the faster kernel transport."""
+    Transport choice, MEASURED at 56k pages (BASELINE.md round 4): the
+    pandas UDF ships the shingle arrays into Python ONE way (the arrays
+    themselves stay JVM-side; only minhash crosses back), while a
+    ``mapInArrow`` body — despite reading the ListArray buffers zero-copy —
+    must round-trip doc_id+shingles through the Python worker to emit them
+    again.  In the dedup chain the one-way pandas transport wins (9.7 s vs
+    11.9 s end-to-end), so it is the default; ``use_arrow=True`` keeps the
+    zero-copy path available (bit-identical signatures, shared kernels)
+    for callers that consume all three columns straight from the map.
+    Contrast simhash_sketches, where mapInArrow IS the default because its
+    output drops the token-hash column entirely."""
     if cfg.hash_family == "xxhash64" and cfg.shingle_mode == "word":
         # production fast path: per-word hash + fixed-width gram combine —
         # no n-gram strings materialized (~8× on the shingle stage); the
