@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 _OUT_SCHEMA = StructType(
@@ -466,16 +466,17 @@ def winnowing_anchors_two_phase(
 
     from pyspark.sql.types import StringType, StructField, StructType
 
-    light = winnowing_positions_kernel(
-        docs, min_match, k_gram, id_col, text_col
-    ).persist()
-    hot = (
-        light.groupBy("anchor")
-        .agg(F.countDistinct("doc_id").alias("n"))
-        .where((F.col("n") >= 2) & (F.col("n") <= max_group_docs))
-        .select("anchor")
+    light = winnowing_positions_kernel(docs, min_match, k_gram, id_col, text_col)
+    # phase-1 rows are UNIQUE per (doc_id, anchor) (np.unique dedup in the
+    # kernel), so a plain window count over anchor IS the distinct-doc
+    # count — one shuffle replaces the former groupBy+join-back pair, and
+    # `light` is referenced once (no persist barrier needed)
+    wa = Window.partitionBy("anchor")
+    sel = (
+        light.withColumn("_n", F.count("*").over(wa))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= max_group_docs))
+        .drop("_n")
     )
-    sel = light.join(hot, "anchor")
     per_doc = sel.groupBy("doc_id").agg(
         F.collect_list(F.struct("anchor", "pos")).alias("aps")
     )
