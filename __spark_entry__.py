@@ -377,6 +377,17 @@ def q_multiprobe_knn_candidates(spark, sf_dir):
     )
 
 
+def q_ivf_topk_seeded(spark, sf_dir):
+    # oracle-gated: IVF-flat coarse-quantizer machinery (assign -> nprobe
+    # probe -> exact cosine re-rank) over the data-defined seeded codebook;
+    # the k-means-trained codebook stays pytest+bench-gated (recall 1.0 twin)
+    from lsh_rs_spark.operators import ivf as IVF
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return IVF.ivf_topk_seeded(q, emb, mod=40, nprobe=3, k=ANN_K)
+
+
 def q_minhash_multiprobe_candidates(spark, sf_dir):
     # oracle-gated: MinHash-family multi-probe (second-minimum substitution,
     # kperm) — DuckDB ranks the same integer gap scores and unions the same
@@ -429,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiprobe_knn_candidates": q_multiprobe_knn_candidates,
         "l2_multiprobe_candidates": q_l2_multiprobe_candidates,
         "minhash_multiprobe_candidates": q_minhash_multiprobe_candidates,
+        "ivf_topk_seeded": q_ivf_topk_seeded,
     }
 
 
@@ -477,5 +489,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_multiprobe_candidates": O.q_minhash_multiprobe_candidates(
             CFG, query_mod=3, budget=8
+        ),
+        "ivf_topk_seeded": O.q_ivf_topk_seeded(
+            mod=40, nprobe=3, k=ANN_K, query_mod=ANN_QUERY_MOD
         ),
     }

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from lsh_rs_spark.functions.vectors import dot, l2_norm
+from lsh_rs_spark.functions.vectors import cosine_sim, dot, l2_norm
 
 
 def train_centroids(
@@ -74,22 +74,51 @@ def assign_lists(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    n_lists: int = 64,
-    nprobe: int = 4,
-    k: int = 10,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def seed_codebook(
+    emb: DataFrame, mod: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(query_id, neighbor_id, cos, rank) — IVF-flat approximate top-k."""
-    C = train_centroids(corpus, n_lists, seed=seed, vec_col=vec_col)
-    index = assign_lists(corpus, C, 1, id_col, vec_col, id_alias="neighbor_id")
-    probes = F.broadcast(
-        assign_lists(queries, C, nprobe, id_col, vec_col, id_alias="query_id")
+    """Deterministic codebook: the table's own vectors at ``id % mod == 0``
+    become the coarse-quantizer centroids (list_id = id).
+
+    A data-defined codebook needs no training pass and — because the seeds
+    ARE rows of the registered table — a DuckDB twin reproduces it exactly
+    with a WHERE clause: no centroid literals, no BLAS-vs-fold arithmetic
+    gap.  This is the oracle-gated IVF variant; the k-means codebook
+    (``train_centroids``) is the production recall-tuned one."""
+    return emb.where(F.col(id_col) % mod == 0).select(
+        F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
     )
+
+
+def assign_lists_join(
+    emb: DataFrame, codebook: DataFrame, nprobe: int,
+    id_col: str = "vec_id", vec_col: str = "embedding", id_alias: str = "vec_id",
+) -> DataFrame:
+    """(id, list_id) — declarative assignment: broadcast codebook cross
+    join + sequential-fold cosine + per-vector window top-``nprobe``.
+
+    O(n·n_lists) like the matmul kernel, all JVM/codegen; doubles match
+    DuckDB's LIST_SUM fold bit-for-bit (same arithmetic as the gated
+    ann/srp twins), ties pinned by list_id ascending."""
+    scored = (
+        emb.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(codebook))
+        .withColumn("sim", cosine_sim("v", "cvec"))
+    )
+    w = Window.partitionBy(id_alias).orderBy(
+        F.col("sim").desc(), F.col("list_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(id_alias, "list_id")
+    )
+
+
+def _probe_and_rank(
+    probes: DataFrame, index: DataFrame, queries: DataFrame, corpus: DataFrame,
+    k: int, id_col: str, vec_col: str,
+) -> DataFrame:
     cand = (
         probes.join(index, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -121,3 +150,43 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_lists: int = 64,
+    nprobe: int = 4,
+    k: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — IVF-flat approximate top-k
+    (k-means codebook, production path)."""
+    C = train_centroids(corpus, n_lists, seed=seed, vec_col=vec_col)
+    index = assign_lists(corpus, C, 1, id_col, vec_col, id_alias="neighbor_id")
+    probes = F.broadcast(
+        assign_lists(queries, C, nprobe, id_col, vec_col, id_alias="query_id")
+    )
+    return _probe_and_rank(probes, index, queries, corpus, k, id_col, vec_col)
+
+
+def ivf_topk_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mod: int = 40,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — IVF over the seeded codebook
+    (oracle-gated variant: assignment, probing and re-rank all
+    DuckDB-reproducible; only the Lloyd training differs from ivf_topk)."""
+    cb = seed_codebook(corpus, mod, id_col, vec_col)
+    index = assign_lists_join(corpus, cb, 1, id_col, vec_col, id_alias="neighbor_id")
+    probes = F.broadcast(
+        assign_lists_join(queries, cb, nprobe, id_col, vec_col, id_alias="query_id")
+    )
+    return _probe_and_rank(probes, index, queries, corpus, k, id_col, vec_col)

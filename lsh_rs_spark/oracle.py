@@ -451,6 +451,57 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """.strip()
 
 
+def q_ivf_topk_seeded(
+    mod: int = 40, nprobe: int = 4, k: int = 5, query_mod: int = 100
+) -> str:
+    """Twin of ivf.ivf_topk_seeded: IVF-flat with the data-defined seeded
+    codebook (centroids = embeddings at vec_id % mod == 0, list_id = id).
+
+    The codebook is rows of the registered table, so no centroid literals
+    cross engines; assignment/probing/re-rank all use the same
+    sequential-fold cosine as the other gated embedding twins.  Tie
+    assumptions (measure-zero on continuous embeddings): no cosine ties at
+    the assignment/probe rank boundaries or the top-k cutoff (both engines
+    tie-break by list_id / neighbor_id ascending)."""
+    sim = _cos("e.embedding", "c.cvec")
+    cos = _cos("q.embedding", "n.embedding")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS list_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {mod} = 0
+),
+ranked AS (
+  SELECT e.vec_id, c.list_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sim} DESC, c.list_id ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+idx AS (
+  SELECT vec_id AS neighbor_id, list_id FROM ranked WHERE rn <= 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM ranked
+  WHERE rn <= {nprobe} AND vec_id % {query_mod} = 0
+),
+cand AS (
+  SELECT DISTINCT p.query_id, i.neighbor_id
+  FROM probes p JOIN idx i USING (list_id)
+  WHERE i.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+
+
 def q_embedding_near_dup(threshold: float = 0.45) -> str:
     cos = _cos("a.embedding", "b.embedding")
     return f"""

@@ -176,3 +176,32 @@ def test_embedding_near_dup_lsh_recall_on_planted_dups(spark):
     assert recall >= 0.9, f"embedding near-dup recall {recall}"
     # precision is exact by construction (cosine verify): no false edges
     assert got <= truth
+
+
+def test_ivf_seeded_codebook_topk_recall(spark):
+    """Seeded-codebook IVF (oracle-gated variant): planted twins are
+    recovered at rank 1 for most queries, and assignment puts every vector
+    in exactly one list."""
+    from pyspark.sql import functions as F
+
+    from lsh_rs_spark.operators.ivf import (
+        assign_lists_join,
+        ivf_topk_seeded,
+        seed_codebook,
+    )
+    from lsh_rs_spark.sources.embeddings import synth_embeddings
+
+    emb = synth_embeddings(spark, 2_000, partitions=4).persist()
+    twins = emb.where(F.col("is_twin")).persist()
+    truth = twins.select(
+        F.col("vec_id").alias("query_id"), F.col("twin_of").alias("neighbor_id")
+    )
+    res = ivf_topk_seeded(twins, emb, mod=50, nprobe=4, k=1)
+    hits = res.join(truth, ["query_id", "neighbor_id"], "left_semi").count()
+    n = twins.count()
+    assert n and hits / n >= 0.9
+
+    cb = seed_codebook(emb, 50)
+    idx = assign_lists_join(emb, cb, 1)
+    assert idx.count() == emb.count()          # one list per vector
+    assert idx.select("vec_id").distinct().count() == emb.count()
