@@ -133,8 +133,9 @@ class SimHashLSH:
     def near_dup_pairs(self) -> DataFrame:
         if self._sketches is None:
             raise RuntimeError("call fit() first")
-        pairs = SH.simhash_candidate_pairs(self._sketches, self.cfg)
-        return V.hamming_edges(pairs, self._sketches, self.cfg)
+        # fused plan: pairs are Hamming-filtered in-row before any shuffle
+        # (operators/simhash_ops.simhash_pairs_from_sketches)
+        return SH.simhash_pairs_from_sketches(self._sketches, self.cfg)
 
     def dedup(self, docs: DataFrame, id_col: str = "doc_id",
               cc_max_iters: int = 25) -> DataFrame:

@@ -114,9 +114,19 @@ def simhash_near_dup_pairs(
     explosion (window count on the same partitioning — no extra shuffle),
     matching ``pairs_from_buckets`` semantics.
     """
+    sk = simhash_sketches(docs, cfg, id_col, use_udf=use_udf)
+    return simhash_pairs_from_sketches(sk, cfg, max_bucket_size)
+
+
+def simhash_pairs_from_sketches(
+    sk: DataFrame, cfg: SimHashConfig, max_bucket_size: int = 10_000
+) -> DataFrame:
+    """Fused band-pair + Hamming-verify plan over a prebuilt (doc_id,
+    simhash) sketch table — the core of :func:`simhash_near_dup_pairs`,
+    exposed for fitted-model callers (api.SimHashLSH) so every entry point
+    gets the filter-before-shuffle plan."""
     from pyspark.sql import Window
 
-    sk = simhash_sketches(docs, cfg, id_col, use_udf=use_udf)
     arr = F.array(
         *[
             F.struct(
