@@ -96,7 +96,7 @@ def simhash_candidate_pairs(
 
 def simhash_near_dup_pairs(
     docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", use_udf: bool = True,
-    max_bucket_size: int = 10_000,
+    max_bucket_size: int = 2_000,
 ) -> DataFrame:
     """Full SimHash near-dup path: sketch → band pairs → Hamming filter.
 
@@ -112,14 +112,19 @@ def simhash_near_dup_pairs(
 
     Hot buckets beyond ``max_bucket_size`` are dropped before the in-row
     explosion (window count on the same partitioning — no extra shuffle),
-    matching ``pairs_from_buckets`` semantics.
+    matching ``pairs_from_buckets`` semantics.  The cap also bounds the
+    in-row pair array a bucket materializes before the filter: m members
+    → m(m−1)/2 structs ≈ 24 B each, so the 2,000 default caps the peak at
+    ~50 MB per bucket row (the same default the MinHash family's
+    DedupConfig pins; web-scale boilerplate buckets are dropped and
+    counted, never ballooned).
     """
     sk = simhash_sketches(docs, cfg, id_col, use_udf=use_udf)
     return simhash_pairs_from_sketches(sk, cfg, max_bucket_size)
 
 
 def simhash_pairs_from_sketches(
-    sk: DataFrame, cfg: SimHashConfig, max_bucket_size: int = 10_000
+    sk: DataFrame, cfg: SimHashConfig, max_bucket_size: int = 2_000
 ) -> DataFrame:
     """Fused band-pair + Hamming-verify plan over a prebuilt (doc_id,
     simhash) sketch table — the core of :func:`simhash_near_dup_pairs`,
