@@ -180,3 +180,49 @@ def test_arrow_map_signatures_equal_pandas_udf(spark):
     empty = docs.where(F.lit(False))
     cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4)
     assert signatures(empty, cfg, use_arrow=True).count() == 0
+
+
+def test_simhash_swar_kernel_matches_naive_reference():
+    """The SWAR bit-parallel vote kernel (byte→lane spread + uint64
+    sub-block reduceat) must reproduce the naive per-bit vote definition
+    exactly — including empty rows, single-token rows, rows spanning many
+    sub-blocks, and every n_bits width."""
+    import numpy as np
+
+    from lsh_rs_spark.functions.simhash import simhash_kernel
+
+    def naive(offsets, flat, n_bits):
+        n = offsets.shape[0]
+        ends = np.append(offsets[1:], flat.shape[0])
+        out = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            toks = flat[offsets[i]:ends[i]].astype(np.uint64)
+            if not toks.shape[0]:
+                continue
+            v = 0
+            for j in range(n_bits):
+                votes = int((2 * ((toks >> np.uint64(j)) & np.uint64(1)).astype(np.int64) - 1).sum())
+                if votes > 0:
+                    v |= 1 << j
+            # bit 63 set → wraps to the int64 sign bit, same as the
+            # kernel's int64 weight vector
+            out[i] = np.uint64(v).astype(np.int64)
+        return out
+
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        n_rows = 40
+        lens = rng.integers(0, 60, n_rows)
+        if trial == 1:
+            lens[:] = 1
+        if trial == 2:
+            lens[:] = 0; lens[3] = 7
+        if trial == 3:
+            lens[0] = 1200  # spans several 200-token SWAR sub-blocks
+        offsets = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        flat = rng.integers(-2**63, 2**63 - 1, int(lens.sum()), dtype=np.int64)
+        for n_bits in (1, 17, 32, 63, 64):
+            got = simhash_kernel(offsets, flat, n_bits)
+            want = naive(offsets, flat, n_bits)
+            assert (got == want).all(), (trial, n_bits)
