@@ -152,6 +152,20 @@ def _probe_and_rank(
     )
 
 
+def _maybe_broadcast_probes(
+    probes: DataFrame, queries: DataFrame, nprobe: int,
+    broadcast_probes: bool | None,
+) -> DataFrame:
+    """Adaptive probe-side broadcast (same policy as operators/topk.py):
+    hint only when the exploded probe rows stay bounded; a corpus-scale
+    query side falls back to an AQE-planned join."""
+    from lsh_rs_spark.operators.topk import BROADCAST_PROBE_ROW_LIMIT
+
+    if broadcast_probes is None:
+        broadcast_probes = queries.count() * nprobe <= BROADCAST_PROBE_ROW_LIMIT
+    return F.broadcast(probes) if broadcast_probes else probes
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -161,13 +175,15 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos, rank) — IVF-flat approximate top-k
     (k-means codebook, production path)."""
     C = train_centroids(corpus, n_lists, seed=seed, vec_col=vec_col)
     index = assign_lists(corpus, C, 1, id_col, vec_col, id_alias="neighbor_id")
-    probes = F.broadcast(
-        assign_lists(queries, C, nprobe, id_col, vec_col, id_alias="query_id")
+    probes = _maybe_broadcast_probes(
+        assign_lists(queries, C, nprobe, id_col, vec_col, id_alias="query_id"),
+        queries, nprobe, broadcast_probes,
     )
     return _probe_and_rank(probes, index, queries, corpus, k, id_col, vec_col)
 
@@ -180,13 +196,15 @@ def ivf_topk_seeded(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos, rank) — IVF over the seeded codebook
     (oracle-gated variant: assignment, probing and re-rank all
     DuckDB-reproducible; only the Lloyd training differs from ivf_topk)."""
     cb = seed_codebook(corpus, mod, id_col, vec_col)
     index = assign_lists_join(corpus, cb, 1, id_col, vec_col, id_alias="neighbor_id")
-    probes = F.broadcast(
-        assign_lists_join(queries, cb, nprobe, id_col, vec_col, id_alias="query_id")
+    probes = _maybe_broadcast_probes(
+        assign_lists_join(queries, cb, nprobe, id_col, vec_col, id_alias="query_id"),
+        queries, nprobe, broadcast_probes,
     )
     return _probe_and_rank(probes, index, queries, corpus, k, id_col, vec_col)

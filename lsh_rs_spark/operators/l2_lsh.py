@@ -60,6 +60,7 @@ def l2_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_udf: bool = True,
+    broadcast_probes: bool | None = None,
 ) -> DataFrame:
     """predict(): probe → bucket union (n_collisions) → exact L2 → top-k.
 
@@ -67,14 +68,25 @@ def l2_knn(
     reference QueryResult columns (`lsh-py/floky/__init__.py:9-11`).
     use_udf=False → Column-expression band keys (DuckDB-parity path;
     probes must be 0 — query-directed probing lives in the UDF).
+    The probe-side broadcast is adaptive (operators/topk.py policy).
     """
+    from lsh_rs_spark.operators.topk import BROADCAST_PROBE_ROW_LIMIT
+
+    if broadcast_probes is None:
+        broadcast_probes = (
+            queries.count() * n_tables * (1 + probes) <= BROADCAST_PROBE_ROW_LIMIT
+        )
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_probes else df
+
     if not use_udf:
         if probes:
             raise ValueError("query-directed probing requires use_udf=True")
         corpus_b = _l2_bands_col_path(
             corpus, n_tables, k_hash, dim, r, seed, id_col, vec_col, "neighbor_id"
         )
-        query_b = F.broadcast(
+        query_b = _hint(
             _l2_bands_col_path(
                 queries, n_tables, k_hash, dim, r, seed, id_col, vec_col, "query_id"
             )
@@ -88,7 +100,7 @@ def l2_knn(
             corpus, n_tables, k_hash, dim, r, seed, id_col, vec_col, probes=0,
             id_alias="neighbor_id",
         ))
-        query_b = F.broadcast(compact_band_keys(
+        query_b = _hint(compact_band_keys(
             l2_band_table(
                 queries, n_tables, k_hash, dim, r, seed, id_col, vec_col,
                 probes=probes, id_alias="query_id",

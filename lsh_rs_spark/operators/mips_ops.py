@@ -114,11 +114,15 @@ def mips_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_udf: bool = True,
+    broadcast_probes: bool | None = None,
 ) -> DataFrame:
     """Full MIPS predict: fit → asymmetric bucket probe → exact dot re-rank.
 
-    Returns (query_id, neighbor_id, dot, rank).  The query side is
-    broadcast; the corpus bucket table never shuffles.
+    Returns (query_id, neighbor_id, dot, rank).  The probe-side broadcast
+    is adaptive (same policy as operators/topk.py): hinted when the
+    exploded probe keys stay bounded, else AQE plans the join — so the
+    corpus bucket table never shuffles in the common small-query case and
+    a corpus-scale query side cannot OOM executors.
     """
     if M is None:
         M = mips_fit(corpus, vec_col, cfg.dim)
@@ -130,8 +134,16 @@ def mips_topk(
         from lsh_rs_spark.functions.l2 import compact_band_keys
 
         put, probe = compact_band_keys(put), compact_band_keys(probe)
+    if broadcast_probes is None:
+        from lsh_rs_spark.operators.topk import BROADCAST_PROBE_ROW_LIMIT
+
+        broadcast_probes = (
+            queries.count() * cfg.n_tables <= BROADCAST_PROBE_ROW_LIMIT
+        )
+    if broadcast_probes:
+        probe = F.broadcast(probe)
     cand = (
-        F.broadcast(probe)
+        probe
         .join(put, "band_key")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")

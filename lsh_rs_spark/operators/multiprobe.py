@@ -276,13 +276,19 @@ def minhash_multiprobe_candidates(
     budget: int,
     id_col: str = "doc_id",
     broadcast_probes: bool | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (query_id, doc_id) bucket hits of base + multi-probe keys
     against the corpus bucket table — candidate expansion for the MinHash
-    family, same output contract as the other multiprobe unions."""
+    family, same output contract as the other multiprobe unions.
+
+    Pass ``buckets`` to probe an EXISTING band table (the fitted-index
+    case — multi-probe's whole point is expanding queries without touching
+    the index); otherwise it is derived from ``corpus_docs``."""
     from lsh_rs_spark.operators.lsh import explode_bands, signatures
 
-    buckets = explode_bands(signatures(corpus_docs, cfg, id_col=id_col), cfg)
+    if buckets is None:
+        buckets = explode_bands(signatures(corpus_docs, cfg, id_col=id_col), cfg)
     probes = minhash_multiprobe_keys(query_docs, cfg, budget, id_col)
     if broadcast_probes is None:
         n_keys = query_docs.count() * cfg.bands * 2  # base + ≤budget subs
