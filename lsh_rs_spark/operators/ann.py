@@ -122,21 +122,30 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_udf: bool = True,
+    broadcast_probes: bool | None = None,
 ) -> DataFrame:
     """Scale-path ANN: SRP bucket probe → exact cosine re-rank of candidates.
 
     Driver-gated as ``ann_srp_topk`` against a DuckDB twin that replicates
     the banding (oracle.q_ann_srp_topk); the brute-force exact form is
     gated separately as ``ann_cosine_topk_exact``.  ``use_udf=False`` takes
-    the pure-Column sketch path (bit-identical to the SQL twin)."""
+    the pure-Column sketch path (bit-identical to the SQL twin).  The
+    probe-side broadcast is adaptive (operators/topk.py policy)."""
     from lsh_rs_spark.functions.simhash import sketch_bands
+    from lsh_rs_spark.operators.topk import BROADCAST_PROBE_ROW_LIMIT
 
     corpus_sk = srp_sketches(corpus, cfg, id_col, vec_col, use_udf=use_udf)
     query_sk = srp_sketches(queries, cfg, id_col, vec_col, use_udf=use_udf)
     qb = sketch_bands(query_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "query_id")
     cb = sketch_bands(corpus_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "neighbor_id")
+    if broadcast_probes is None:
+        broadcast_probes = (
+            queries.count() * cfg.bands <= BROADCAST_PROBE_ROW_LIMIT
+        )
+    if broadcast_probes:
+        qb = F.broadcast(qb)
     cand = (
-        F.broadcast(qb).join(cb, ["band_idx", "band_key"])
+        qb.join(cb, ["band_idx", "band_key"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
