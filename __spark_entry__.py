@@ -394,7 +394,10 @@ def q_minhash_multiprobe_candidates(spark, sf_dir):
     # base+substituted bucket keys (pure int64 → exact parity)
     docs = _docs(spark, sf_dir)
     q = docs.where(F.col("doc_id") % 3 == 0)
-    return MP.minhash_multiprobe_candidates(q, docs, CFG, budget=8)
+    return MP.minhash_multiprobe_candidates(
+        q, docs, CFG, budget=8,
+        buckets=L.explode_bands(_sig(spark, sf_dir), CFG),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
