@@ -226,3 +226,45 @@ def test_simhash_swar_kernel_matches_naive_reference():
             got = simhash_kernel(offsets, flat, n_bits)
             want = naive(offsets, flat, n_bits)
             assert (got == want).all(), (trial, n_bits)
+
+
+def test_oph_kernel_matches_naive_reference():
+    """The pack-sort scatter-min + rotation-densification OPH kernel must
+    equal a straightforward per-row implementation of Li/Owen/Zhang OPH
+    with Shrivastava-Li rotation (value offset t*(P+1))."""
+    import numpy as np
+
+    from lsh_rs_spark.config import MERSENNE31 as P
+    from lsh_rs_spark.functions.minhash import oph_kernel
+
+    def naive(ids, k, a0, b0):
+        out = [P] * k
+        for s in ids:
+            v = ((int(s) % P) * a0 + b0) % P
+            b = min(max((v * k) >> 31, 0), k - 1)
+            out[b] = min(out[b], v)
+        filled = [x != P for x in out]
+        if any(filled) and not all(filled):
+            res = list(out)
+            for j in range(k):
+                if not filled[j]:
+                    t = 1
+                    while not filled[(j + t) % k]:
+                        t += 1
+                    res[j] = out[(j + t) % k] + t * (P + 1)
+            out = res
+        return out
+
+    rng = np.random.default_rng(17)
+    a0, b0 = 1103515245, 12345
+    for trial, (n_rows, max_len) in enumerate([(50, 40), (30, 3), (20, 200)]):
+        lens = rng.integers(0, max_len + 1, n_rows)
+        offs = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        flat = rng.integers(-2**63, 2**63 - 1, int(lens.sum()), dtype=np.int64)
+        for k in (8, 16, 64):
+            got = oph_kernel(offs, flat, k, a0, b0)
+            ends = np.append(offs[1:], flat.shape[0])
+            for i in range(n_rows):
+                want = naive(flat[offs[i]:ends[i]], k, a0, b0)
+                assert got[i].tolist() == want, (trial, k, i)
