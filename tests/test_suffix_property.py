@@ -126,3 +126,38 @@ def test_minhash_estimators_track_true_jaccard(pair):
     s1 = minhash_kernel(offs2, flat2, aa, bb)
     s2 = oph_kernel(offs2, flat2, k, int(aa[0]), int(bb[0]))
     assert (s1[0] == s1[1]).all() and (s2[0] == s2[1]).all()
+
+
+def test_winnow_positions_match_naive_window_minima():
+    """_winnow_positions (O(n) block prefix/suffix trick) must select
+    exactly the positions that are the minimum of SOME length-w window —
+    including duplicate hash values (multiple anchors per window) and the
+    short-array (<= w) argmin special case."""
+    import numpy as np
+
+    from lsh_rs_spark.operators.suffix import _winnow_positions
+
+    def naive(h, w):
+        ng = len(h)
+        if ng == 0:
+            return []
+        if ng <= w:
+            return [int(np.argmin(h))]
+        sel = set()
+        for s in range(ng - w + 1):
+            m = h[s:s + w].min()
+            for j in range(s, s + w):
+                if h[j] == m:
+                    sel.add(j)
+        return sorted(sel)
+
+    rng = np.random.default_rng(23)
+    for trial in range(30):
+        ng = int(rng.integers(0, 120))
+        w = int(rng.integers(2, 20))
+        if trial % 3 == 0:  # force many duplicate hash values
+            h = rng.integers(0, 5, ng).astype(np.uint64)
+        else:
+            h = rng.integers(0, 2**63, ng).astype(np.uint64)
+        got = _winnow_positions(h, w).tolist()
+        assert got == naive(h, w), (trial, ng, w)
