@@ -560,3 +560,29 @@ def test_streaming_workdir_format_fingerprint_fail_fast(spark, tmp_path):
         if q.exception() is not None:
             raise q.exception()
     assert "different format/config" in str(ei.value)
+
+
+def test_simhash_fused_pairing_equals_decomposed_form(spark):
+    """The fused pair+verify plan (simhash_pairs_from_sketches) must emit
+    exactly the candidate_pairs -> hamming_edges decomposition's edge set —
+    the decomposed ops are kept as the reference-shaped cross-check twin
+    (J2 pairing + P9 verify), like verify.jaccard_edges_exploded."""
+    from lsh_rs_spark.config import SimHashConfig
+    from lsh_rs_spark.operators import simhash_ops as SH
+    from lsh_rs_spark.operators import verify as V
+    from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
+
+    cfg = SimHashConfig(n_bits=32, bands=4, hamming_threshold=4)
+    docs = with_doc_ids(synth_webpages(spark, 200, partitions=2)).cache()
+    sk = SH.simhash_sketches(docs, cfg).cache()
+    fused = {
+        (r.src, r.dst, r.hamming)
+        for r in SH.simhash_pairs_from_sketches(sk, cfg).collect()
+    }
+    decomposed = {
+        (r.src, r.dst, r.hamming)
+        for r in V.hamming_edges(
+            SH.simhash_candidate_pairs(sk, cfg, max_bucket_size=2_000), sk, cfg
+        ).collect()
+    }
+    assert fused and fused == decomposed
