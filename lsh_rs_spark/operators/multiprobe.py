@@ -146,7 +146,13 @@ def minhash_second_min_table(
     order statistic, ties broken by shingle id — deterministic in Spark
     and DuckDB alike).  The gap h2−h1 plays the role of Lv et al.'s
     boundary distance xi: the smaller the gap, the likelier a
-    near-neighbor's own minimum lands on h2 instead of h1."""
+    near-neighbor's own minimum lands on h2 instead of h1.
+
+    Scale contract: the intermediate explodes |queries| × shingles × K
+    rows (the 2nd order statistic needs the full hash stream, unlike the
+    plain MIN which the OPH kernel folds in O(shingles)).  This is a
+    QUERY-SIDE operator — multi-probe's purpose is expanding a bounded
+    query set against an untouched index; do not feed it the corpus."""
     from pyspark.sql import Window
 
     from lsh_rs_spark.config import MERSENNE31 as P
