@@ -148,9 +148,12 @@ def minhash_second_min_table(
     boundary distance xi: the smaller the gap, the likelier a
     near-neighbor's own minimum lands on h2 instead of h1.
 
-    Scale contract: the intermediate explodes |queries| × shingles × K
-    rows (the 2nd order statistic needs the full hash stream, unlike the
-    plain MIN which the OPH kernel folds in O(shingles)).  This is a
+    Scale contract: computing the 2nd order statistic generates
+    |queries| × shingles × K hash rows inside the map tasks (the plain
+    MIN, by contrast, folds in O(shingles) in the OPH kernel).  Spark's
+    rank-limit pushdown (WindowGroupLimit, verified on the executedPlan)
+    prunes the exchange to ≤2 rows per (doc, j), so the SHUFFLE stays
+    O(|queries|·K) — but the map-side compute does not.  This is a
     QUERY-SIDE operator — multi-probe's purpose is expanding a bounded
     query set against an untouched index; do not feed it the corpus."""
     from pyspark.sql import Window
