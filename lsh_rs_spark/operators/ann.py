@@ -132,17 +132,13 @@ def ann_topk(
     the pure-Column sketch path (bit-identical to the SQL twin).  The
     probe-side broadcast is adaptive (operators/topk.py policy)."""
     from lsh_rs_spark.functions.simhash import sketch_bands
-    from lsh_rs_spark.operators.topk import BROADCAST_PROBE_ROW_LIMIT
+    from lsh_rs_spark.operators.topk import resolve_probe_broadcast
 
     corpus_sk = srp_sketches(corpus, cfg, id_col, vec_col, use_udf=use_udf)
     query_sk = srp_sketches(queries, cfg, id_col, vec_col, use_udf=use_udf)
     qb = sketch_bands(query_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "query_id")
     cb = sketch_bands(corpus_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "neighbor_id")
-    if broadcast_probes is None:
-        broadcast_probes = (
-            queries.count() * cfg.bands <= BROADCAST_PROBE_ROW_LIMIT
-        )
-    if broadcast_probes:
+    if resolve_probe_broadcast(queries, cfg.bands, broadcast_probes):
         qb = F.broadcast(qb)
     cand = (
         qb.join(cb, ["band_idx", "band_key"])

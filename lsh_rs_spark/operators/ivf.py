@@ -156,14 +156,14 @@ def _maybe_broadcast_probes(
     probes: DataFrame, queries: DataFrame, nprobe: int,
     broadcast_probes: bool | None,
 ) -> DataFrame:
-    """Adaptive probe-side broadcast (same policy as operators/topk.py):
-    hint only when the exploded probe rows stay bounded; a corpus-scale
-    query side falls back to an AQE-planned join."""
-    from lsh_rs_spark.operators.topk import BROADCAST_PROBE_ROW_LIMIT
+    """Adaptive probe-side broadcast (shared topk.py policy): hint only
+    when the exploded probe rows stay bounded; a corpus-scale query side
+    falls back to an AQE-planned join."""
+    from lsh_rs_spark.operators.topk import resolve_probe_broadcast
 
-    if broadcast_probes is None:
-        broadcast_probes = queries.count() * nprobe <= BROADCAST_PROBE_ROW_LIMIT
-    return F.broadcast(probes) if broadcast_probes else probes
+    if resolve_probe_broadcast(queries, nprobe, broadcast_probes):
+        return F.broadcast(probes)
+    return probes
 
 
 def ivf_topk(

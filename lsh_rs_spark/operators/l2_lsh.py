@@ -70,12 +70,11 @@ def l2_knn(
     probes must be 0 — query-directed probing lives in the UDF).
     The probe-side broadcast is adaptive (operators/topk.py policy).
     """
-    from lsh_rs_spark.operators.topk import BROADCAST_PROBE_ROW_LIMIT
+    from lsh_rs_spark.operators.topk import resolve_probe_broadcast
 
-    if broadcast_probes is None:
-        broadcast_probes = (
-            queries.count() * n_tables * (1 + probes) <= BROADCAST_PROBE_ROW_LIMIT
-        )
+    broadcast_probes = resolve_probe_broadcast(
+        queries, n_tables * (1 + probes), broadcast_probes
+    )
 
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_probes else df

@@ -225,6 +225,22 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def bucket_guard(
+    long_df: DataFrame, key_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """THE hot-bucket guard, shared by every within-bucket pairing plan
+    (MinHash ``pairs_from_buckets``, the fused SimHash pairing): keep only
+    buckets with [2, max_bucket_size] members, counted by a window on the
+    same partitioning the downstream aggregation reuses — one exchange,
+    one semantics (so the skew policy can never drift between families)."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        long_df.withColumn("_bs", F.count("*").over(w))
+        .where((F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size))
+        .drop("_bs")
+    )
+
+
 def pairs_from_buckets(
     long_df: DataFrame,
     key_cols: list[str],
@@ -241,12 +257,7 @@ def pairs_from_buckets(
     its full id list in a single aggregation buffer.  The size guard on the
     aggregated list is kept as a second line of defense for callers that
     pass pre-grouped data."""
-    w = Window.partitionBy(*key_cols)
-    long_df = (
-        long_df.withColumn("_bs", F.count("*").over(w))
-        .where((F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size))
-        .drop("_bs")
-    )
+    long_df = bucket_guard(long_df, key_cols, max_bucket_size)
     pair_expr = F.explode(
         F.flatten(
             F.transform(

@@ -134,13 +134,9 @@ def mips_topk(
         from lsh_rs_spark.functions.l2 import compact_band_keys
 
         put, probe = compact_band_keys(put), compact_band_keys(probe)
-    if broadcast_probes is None:
-        from lsh_rs_spark.operators.topk import BROADCAST_PROBE_ROW_LIMIT
+    from lsh_rs_spark.operators.topk import resolve_probe_broadcast
 
-        broadcast_probes = (
-            queries.count() * cfg.n_tables <= BROADCAST_PROBE_ROW_LIMIT
-        )
-    if broadcast_probes:
+    if resolve_probe_broadcast(queries, cfg.n_tables, broadcast_probes):
         probe = F.broadcast(probe)
     cand = (
         probe

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from lsh_rs_spark.config import SRPConfig, SimHashConfig
 from lsh_rs_spark.functions.simhash import band_expr
-from lsh_rs_spark.operators.topk import BROADCAST_PROBE_ROW_LIMIT
+from lsh_rs_spark.operators.topk import resolve_probe_broadcast
 
 
 def flip_masks(n_bits: int, budget: int) -> list[int]:
@@ -121,11 +121,7 @@ def l2_multiprobe_candidates(
         corpus, n_tables, k, dim, r, seed, id_col, vec_col,
         probes=0, id_alias="doc_id",
     ))
-    if broadcast_probes is None:
-        broadcast_probes = (
-            queries.count() * n_tables * (1 + budget) <= BROADCAST_PROBE_ROW_LIMIT
-        )
-    if broadcast_probes:
+    if resolve_probe_broadcast(queries, n_tables * (1 + budget), broadcast_probes):
         qk = F.broadcast(qk)
     return (
         qk
@@ -299,10 +295,8 @@ def minhash_multiprobe_candidates(
     if buckets is None:
         buckets = explode_bands(signatures(corpus_docs, cfg, id_col=id_col), cfg)
     probes = minhash_multiprobe_keys(query_docs, cfg, budget, id_col)
-    if broadcast_probes is None:
-        n_keys = query_docs.count() * cfg.bands * 2  # base + ≤budget subs
-        broadcast_probes = n_keys <= BROADCAST_PROBE_ROW_LIMIT
-    if broadcast_probes:
+    # exact fan-out: bands base keys + up to `budget` substitutions/query
+    if resolve_probe_broadcast(query_docs, cfg.bands + budget, broadcast_probes):
         probes = F.broadcast(probes)
     return (
         probes.join(buckets, ["band_idx", "band_key"])
@@ -340,10 +334,9 @@ def multiprobe_candidates(
     probes = multiprobe_band_keys(
         query_sketches, cfg.bands, cfg.bits_per_band, budget
     )
-    if broadcast_probes is None:
-        n_keys = query_sketches.count() * cfg.bands * (1 + budget)
-        broadcast_probes = n_keys <= BROADCAST_PROBE_ROW_LIMIT
-    if broadcast_probes:
+    if resolve_probe_broadcast(
+        query_sketches, cfg.bands * (1 + budget), broadcast_probes
+    ):
         probes = F.broadcast(probes)
     return (
         probes

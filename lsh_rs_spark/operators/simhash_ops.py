@@ -96,7 +96,7 @@ def simhash_candidate_pairs(
 
 def simhash_near_dup_pairs(
     docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", use_udf: bool = True,
-    max_bucket_size: int = 2_000,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Full SimHash near-dup path: sketch → band pairs → Hamming filter.
 
@@ -111,27 +111,26 @@ def simhash_near_dup_pairs(
     filtered edge set only.  Identical result set to the join form.
 
     Hot buckets beyond ``max_bucket_size`` are dropped before the in-row
-    explosion (window count on the same partitioning — no extra shuffle),
-    matching ``pairs_from_buckets`` semantics.  The cap also bounds the
-    in-row pair array a bucket materializes before the filter: m members
-    → m(m−1)/2 structs ≈ 24 B each, so the 2,000 default caps the peak at
-    ~50 MB per bucket row (the same default the MinHash family's
-    DedupConfig pins; web-scale boilerplate buckets are dropped and
-    counted, never ballooned).
+    explosion via the SHARED guard (``lsh.bucket_guard`` — identical
+    window-count semantics as ``pairs_from_buckets``, same 10,000 default
+    as the pre-fused plan, so the fused rewrite changed no results).  The
+    cap also bounds the in-row pair array a bucket materializes before
+    the filter: m members → m(m−1)/2 structs ≈ 24 B each (~1.2 GB at the
+    10k ceiling — the same worst-case exposure the explode-based
+    ``pairs_from_buckets`` always had; pin a smaller cap for boilerplate-
+    heavy corpora, drops are counted via ``bucket_stats``, never silent).
     """
     sk = simhash_sketches(docs, cfg, id_col, use_udf=use_udf)
     return simhash_pairs_from_sketches(sk, cfg, max_bucket_size)
 
 
 def simhash_pairs_from_sketches(
-    sk: DataFrame, cfg: SimHashConfig, max_bucket_size: int = 2_000
+    sk: DataFrame, cfg: SimHashConfig, max_bucket_size: int = 10_000
 ) -> DataFrame:
     """Fused band-pair + Hamming-verify plan over a prebuilt (doc_id,
     simhash) sketch table — the core of :func:`simhash_near_dup_pairs`,
     exposed for fitted-model callers (api.SimHashLSH) so every entry point
     gets the filter-before-shuffle plan."""
-    from pyspark.sql import Window
-
     arr = F.array(
         *[
             F.struct(
@@ -141,15 +140,12 @@ def simhash_pairs_from_sketches(
             for bi in range(cfg.bands)
         ]
     )
+    from lsh_rs_spark.operators.lsh import bucket_guard
+
     bands = sk.select("doc_id", "simhash", F.explode(arr).alias("b")).select(
         "b.band_idx", "b.band_key", "doc_id", "simhash"
     )
-    w = Window.partitionBy("band_idx", "band_key")
-    bands = (
-        bands.withColumn("_bs", F.count("*").over(w))
-        .where((F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size))
-        .drop("_bs")
-    )
+    bands = bucket_guard(bands, ["band_idx", "band_key"], max_bucket_size)
     grouped = bands.groupBy("band_idx", "band_key").agg(
         F.collect_list(F.struct("doc_id", "simhash")).alias("ds")
     )

@@ -582,7 +582,7 @@ def test_simhash_fused_pairing_equals_decomposed_form(spark):
     decomposed = {
         (r.src, r.dst, r.hamming)
         for r in V.hamming_edges(
-            SH.simhash_candidate_pairs(sk, cfg, max_bucket_size=2_000), sk, cfg
+            SH.simhash_candidate_pairs(sk, cfg), sk, cfg
         ).collect()
     }
     assert fused and fused == decomposed
