@@ -42,14 +42,22 @@ def _attach_payload(
     """Join the neighbor's stored payload back onto a predict result —
     ``QueryResult.vectors`` materialization (S8 join-back packaged into the
     API return).  Left join: a neighbor always exists in the fitted corpus,
-    but never silently drop a result row if a caller filtered it."""
-    return res.join(
+    but never silently drop a result row if a caller filtered it.
+
+    Contract: ``id_col`` must be unique in the fitted corpus (the reference
+    stores one vector per index slot, `lsh-rs/src/table/mem.rs`).  A
+    duplicate id would fan predict rows out and duplicate rank values, so
+    the payload side is defensively deduped — a no-op shuffle-wise under
+    the contract (the agg reuses the join's hash partitioning on
+    neighbor_id) and a deterministic pick (min payload) otherwise."""
+    payload = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(payload_col).alias(alias)
-        ),
-        "neighbor_id",
-        "left",
-    ).select(*res.columns, alias)
+        )
+        .groupBy("neighbor_id")
+        .agg(F.min(alias).alias(alias))
+    )
+    return res.join(payload, "neighbor_id", "left").select(*res.columns, alias)
 
 
 class MinHashLSH:
@@ -85,7 +93,12 @@ class MinHashLSH:
         qsig = L.signatures(queries, self.cfg, id_col=id_col).withColumnRenamed(
             "doc_id", "query_id"
         )
-        res = TK.knn(qsig, self.signatures, self._buckets, top_k, self.cfg)
+        # broadcast decision counts the RAW query docs (not qsig) so the
+        # signing stage runs once; the count itself is memoized in topk.
+        res = TK.knn(
+            qsig, self.signatures, self._buckets, top_k, self.cfg,
+            count_df=queries,
+        )
         res = res.select(
             "query_id",
             F.col("doc_id").alias("neighbor_id"),

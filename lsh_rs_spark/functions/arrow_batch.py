@@ -38,10 +38,21 @@ def list_segments(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def fixed_width_list(rows: np.ndarray):
-    """(n, k) int64 matrix → Arrow ``list<int64>`` array (k per row)."""
+    """(n, k) int64 matrix → Arrow ``list<int64>`` array (k per row).
+
+    ListArray offsets are int32: a batch with n*k > INT32_MAX elements
+    would silently wrap ``np.arange`` and corrupt the array, so refuse it
+    loudly.  Unreachable under Spark's default Arrow batch split
+    (``spark.sql.execution.arrow.maxRecordsPerBatch`` = 10k rows), but a
+    caller disabling the split must get an error, not garbage."""
     import pyarrow as pa
 
     n, k = rows.shape
+    if n * k > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"fixed_width_list: {n} rows x {k} values overflow int32 "
+            "ListArray offsets; split the batch"
+        )
     return pa.ListArray.from_arrays(
         np.arange(0, (n + 1) * k, k, dtype=np.int32),
         pa.array(rows.reshape(-1), type=pa.int64()),

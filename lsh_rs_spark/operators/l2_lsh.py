@@ -72,6 +72,11 @@ def l2_knn(
     """
     from lsh_rs_spark.operators.topk import resolve_probe_broadcast
 
+    # validate BEFORE resolve_probe_broadcast: an invalid call must raise
+    # without burning the broadcast-resolution count job (advisor r4)
+    if not use_udf and probes:
+        raise ValueError("query-directed probing requires use_udf=True")
+
     broadcast_probes = resolve_probe_broadcast(
         queries, n_tables * (1 + probes), broadcast_probes
     )
@@ -80,8 +85,6 @@ def l2_knn(
         return F.broadcast(df) if broadcast_probes else df
 
     if not use_udf:
-        if probes:
-            raise ValueError("query-directed probing requires use_udf=True")
         corpus_b = _l2_bands_col_path(
             corpus, n_tables, k_hash, dim, r, seed, id_col, vec_col, "neighbor_id"
         )

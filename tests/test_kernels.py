@@ -268,3 +268,16 @@ def test_oph_kernel_matches_naive_reference():
             for i in range(n_rows):
                 want = naive(flat[offs[i]:ends[i]], k, a0, b0)
                 assert got[i].tolist() == want, (trial, k, i)
+
+
+def test_fixed_width_list_rejects_int32_offset_overflow():
+    """advisor r4: n*k beyond INT32_MAX must raise, not wrap offsets.
+    broadcast_to gives the huge logical shape without allocating."""
+    import numpy as np
+    import pytest
+
+    from lsh_rs_spark.functions.arrow_batch import fixed_width_list
+
+    huge = np.broadcast_to(np.zeros(1, dtype=np.int64), (2**28, 16))
+    with pytest.raises(ValueError, match="int32"):
+        fixed_width_list(huge)
