@@ -342,12 +342,18 @@ def winnowing_positions_kernel(
     k_gram: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dedup_anchors: bool = True,
 ) -> DataFrame:
     """Light anchor stream (doc_id, anchor, pos) — no snippet bytes.
 
     mapInPandas O(n) kernel per document; `pos` is the BYTE offset of the
     selected gram.  The winnowing rendezvous guarantee — any shared run
-    >= min_match yields a shared anchor — is hash-family independent."""
+    >= min_match yields a shared anchor — is hash-family independent.
+
+    ``dedup_anchors``: keep one position per (doc, anchor) (enough for the
+    PAIR operator — any one shared anchor finds the pair).  The SPAN
+    operator needs every position: intra-doc repeated content that is also
+    cross-doc shared must emit a span at every occurrence."""
     from collections.abc import Iterator
 
     from pyspark.sql.types import StructField, StructType
@@ -371,13 +377,15 @@ def winnowing_positions_kernel(
                 h = _rolling_gram_hashes(data, k_gram)
                 pos = _winnow_positions(h, w)
                 vals = h[pos].astype(np.int64)  # uint64 → signed wrap
-                # per-doc anchor dedup keeping the FIRST position — same
-                # semantics as a seen-set scan (np.unique's return_index is
-                # the first occurrence), no per-anchor Python
-                ua, first = np.unique(vals, return_index=True)
-                ids.append(np.full(ua.shape[0], int(doc_id), dtype=np.int64))
-                anchors.append(ua)
-                poss.append(pos[first])
+                if dedup_anchors:
+                    # per-doc anchor dedup keeping the FIRST position — same
+                    # semantics as a seen-set scan (np.unique's return_index
+                    # is the first occurrence), no per-anchor Python
+                    ua, first = np.unique(vals, return_index=True)
+                    vals, pos = ua, pos[first]
+                ids.append(np.full(vals.shape[0], int(doc_id), dtype=np.int64))
+                anchors.append(vals)
+                poss.append(pos)
             if ids:
                 yield pd.DataFrame(
                     {

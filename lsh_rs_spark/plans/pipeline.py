@@ -145,11 +145,7 @@ class DedupPipeline:
                 )
             return e
 
-        cc_fn = (
-            CC.connected_components_star
-            if cfg.cc_algorithm == "star"
-            else CC.connected_components
-        )
+        cc_fn = CC.resolve_cc(cfg.cc_algorithm)
         comps = self._stage(
             "components",
             lambda: cc_fn(all_edges(), cfg.cc_max_iters),
