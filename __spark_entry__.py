@@ -365,6 +365,15 @@ def q_substring_dups(spark, sf_dir):
     ).select("src", "dst")
 
 
+def q_substring_spans(spark, sf_dir):
+    # oracle-gated: merged duplicated byte-ranges (Lee et al. 2021 §4) —
+    # DuckDB reproduces them from k-gram diagonal islands; Spark from
+    # winnowing snippet tiles + per-group suffix arrays
+    return SX.substring_dup_spans(
+        _docs(spark, sf_dir), min_match=48, k_gram=16, snippet_radius=64
+    )
+
+
 def q_multiprobe_knn_candidates(spark, sf_dir):
     # oracle-gated: step-wise multi-probe candidate expansion (M1) — DuckDB
     # enumerates the same base+flip probe keys and unions bucket hits
@@ -440,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mips_buckets": q_mips_buckets,
         "mips_topk": q_mips_topk,
         "substring_dups": q_substring_dups,
+        "substring_spans": q_substring_spans,
         "multiprobe_knn_candidates": q_multiprobe_knn_candidates,
         "l2_multiprobe_candidates": q_l2_multiprobe_candidates,
         "minhash_multiprobe_candidates": q_minhash_multiprobe_candidates,
@@ -484,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "mips_buckets": O.q_mips_buckets(ORACLE_MIPS),
         "mips_topk": O.q_mips_topk(ORACLE_MIPS, ANN_QUERY_MOD, ANN_K),
         "substring_dups": O.q_substring_dups(min_match=48, k_gram=16),
+        "substring_spans": O.q_substring_spans(min_match=48, k_gram=16),
         "multiprobe_knn_candidates": O.q_multiprobe_candidates(
             ORACLE_SIMHASH, KNN_QUERY_MOD, budget=4
         ),

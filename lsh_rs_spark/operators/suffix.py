@@ -463,25 +463,34 @@ def winnowing_anchors_two_phase(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_group_docs: int = 200,
+    dedup_anchors: bool = True,
 ) -> DataFrame:
-    """Two-phase anchor generator: (doc_id, anchor, snippet).
+    """Two-phase anchor generator: (doc_id, anchor, snip_off, snippet).
 
     Phase 1 ships only 24-byte (doc_id, anchor, pos) rows (persisted —
     referenced twice); phase 2 cuts snippets ONLY for anchors colliding in
     [2, max_group_docs] documents — at sparse web dup rates the snippet
-    shuffle shrinks ~10-50× versus a snippet per anchor."""
+    shuffle shrinks ~10-50× versus a snippet per anchor.  ``snip_off`` is
+    the snippet's start BYTE offset in the doc (0-based) — the span
+    operator maps blob matches back to document coordinates with it.
+
+    ``dedup_anchors=False`` (span mode) keeps every anchor position; the
+    collision filter then counts DISTINCT docs per anchor (with dedup the
+    plain row count is already the distinct-doc count)."""
     from collections.abc import Iterator
 
     from pyspark.sql.types import StringType, StructField, StructType
 
-    light = winnowing_positions_kernel(docs, min_match, k_gram, id_col, text_col)
-    # phase-1 rows are UNIQUE per (doc_id, anchor) (np.unique dedup in the
-    # kernel), so a plain window count over anchor IS the distinct-doc
-    # count — one shuffle replaces the former groupBy+join-back pair, and
-    # `light` is referenced once (no persist barrier needed)
+    light = winnowing_positions_kernel(
+        docs, min_match, k_gram, id_col, text_col, dedup_anchors=dedup_anchors
+    )
     wa = Window.partitionBy("anchor")
+    cnt = (
+        F.count("*").over(wa) if dedup_anchors
+        else F.size(F.collect_set("doc_id").over(wa))
+    )
     sel = (
-        light.withColumn("_n", F.count("*").over(wa))
+        light.withColumn("_n", cnt)
         .where((F.col("_n") >= 2) & (F.col("_n") <= max_group_docs))
         .drop("_n")
     )
@@ -497,13 +506,14 @@ def winnowing_anchors_two_phase(
         [
             StructField("doc_id", LongType()),
             StructField("anchor", LongType()),
+            StructField("snip_off", LongType()),
             StructField("snippet", StringType()),
         ]
     )
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "anchor": [], "snippet": []}
+            out = {"doc_id": [], "anchor": [], "snip_off": [], "snippet": []}
             for doc_id, aps, text in zip(pdf["doc_id"], pdf["aps"], pdf["text"]):
                 data = text.encode("utf-8", "ignore")
                 for row in aps:
@@ -511,6 +521,7 @@ def winnowing_anchors_two_phase(
                     lo = max(0, p - snippet_radius)
                     out["doc_id"].append(int(doc_id))
                     out["anchor"].append(a)
+                    out["snip_off"].append(lo)
                     out["snippet"].append(
                         data[lo : lo + 2 * snippet_radius].decode("utf-8", "ignore")
                     )
@@ -636,6 +647,302 @@ def substring_dup_pairs(
 
     pairs = grouped.mapInPandas(fn, schema=_OUT_SCHEMA)
     return pairs.groupBy("src", "dst").agg(F.max("match_len").alias("match_len"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span extraction (Lee et al. 2021 §4: remove the duplicated
+# byte ranges, not whole documents)
+# ---------------------------------------------------------------------------
+
+_SPAN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("span_start", LongType()),
+        StructField("span_end", LongType()),
+    ]
+)
+
+
+def _best_cross_doc_lcp(d: np.ndarray, l: np.ndarray) -> np.ndarray:
+    """Per member of one suffix-array interval: the longest prefix shared
+    with a member from a DIFFERENT document.
+
+    Members are consecutive SA rows; ``l[j]`` is the (clamped) LCP between
+    members j and j+1, all >= min_match; pairwise LCP(j,k) = min(l[j..k-1]).
+    Two sweeps (left→right, right→left), each maintaining the top-2
+    candidates by decayed value with DISTINCT doc ids — sufficient for
+    "max value among candidates whose doc differs from mine" because the
+    decay (min with each crossed edge) is uniform, so order is preserved
+    and a dropped third candidate can never overtake the kept
+    different-doc one."""
+    r = d.shape[0]
+    best = np.zeros(r, dtype=np.int64)
+    INF = 1 << 62
+    for idx_iter, edge_of in (
+        (range(r), lambda j: l[j - 1]),       # left→right: edge (j-1, j)
+        (range(r - 1, -1, -1), lambda j: l[j]),  # right→left: edge (j, j+1)
+    ):
+        cands: list[list] = []  # [doc, value], at most 2, distinct docs
+        first = True
+        for j in idx_iter:
+            if not first:
+                e = int(edge_of(j))
+                for c in cands:
+                    if c[1] > e:
+                        c[1] = e
+            first = False
+            for c in cands:
+                if c[0] != d[j] and c[1] > best[j]:
+                    best[j] = c[1]
+            # insert member j at INF (its pairwise LCP to later members is
+            # the running min of crossed edges, applied by the decay above)
+            for c in cands:
+                if c[0] == d[j]:
+                    c[1] = INF
+                    break
+            else:
+                cands.append([int(d[j]), INF])
+            cands.sort(key=lambda c: -c[1])
+            del cands[2:]
+    return best
+
+
+def _find_spans_in_group(
+    ids: list, offs: list, snips: list, min_match: int
+) -> pd.DataFrame:
+    """Spans of cross-document shared runs inside one packed snippet blob.
+
+    Same SA + adjacent-LCP machinery as ``_find_pairs_in_group``, plus a
+    byte-offset map back into document coordinates (``snip_off``).  For
+    every suffix in a maximal >=min_match LCP interval, the emitted span is
+    [doc_off, doc_off + best) where best is its longest cross-doc shared
+    prefix — the union of those spans over all tiling snippets is exactly
+    the duplicated regions (winnowing places anchors at most w apart inside
+    any shared run, and snippet_radius >= min_match covers the run's edges
+    past the first/last in-run anchor)."""
+    texts = [s.encode("utf-8", "ignore") for s in snips]
+    parts = []
+    for idx, t in enumerate(texts):
+        parts.append(t)
+        parts.append(b"\x00" + idx.to_bytes(4, "little") + b"\x00")
+    blob = b"".join(parts)
+    owner_of = np.full(len(blob), -1, dtype=np.int64)
+    text_end_of = np.arange(len(blob), dtype=np.int64)
+    doc_off_of = np.zeros(len(blob), dtype=np.int64)
+    pos = 0
+    for idx, t in enumerate(texts):
+        owner_of[pos : pos + len(t)] = idx
+        text_end_of[pos : pos + len(t)] = pos + len(t)
+        doc_off_of[pos : pos + len(t)] = np.arange(len(t)) + int(offs[idx])
+        pos += len(t) + 6
+    sa = _suffix_array_bytes(blob)
+    lcp = _adjacent_lcps(blob, sa)
+    rem = text_end_of[sa] - sa
+    np.minimum(lcp, np.minimum(rem[:-1], rem[1:]), out=lcp)
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "span_start": pd.Series([], dtype="int64"),
+            "span_end": pd.Series([], dtype="int64"),
+        }
+    )
+    qual = np.nonzero(lcp >= min_match)[0]
+    if qual.shape[0] == 0:
+        return empty
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    new_run = np.diff(qual, prepend=qual[0] - 2) > 1
+    bounds = np.nonzero(new_run)[0].tolist() + [qual.shape[0]]
+    out = []
+    for bi in range(len(bounds) - 1):
+        rows = qual[bounds[bi] : bounds[bi + 1]]
+        member_rows = np.arange(rows[0], rows[-1] + 2)
+        p = sa[member_rows]
+        # separator-start suffixes cannot appear here: their rem is 0, so
+        # their adjacent LCPs are clamped to 0 and break any interval
+        d = ids_arr[owner_of[p]]
+        if np.unique(d).shape[0] < 2:
+            continue  # intra-doc repeat only — not cross-document
+        best = _best_cross_doc_lcp(d, lcp[rows])
+        emit = np.nonzero(best >= min_match)[0]
+        if emit.shape[0]:
+            starts = doc_off_of[p[emit]]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d[emit],
+                        "span_start": starts,
+                        "span_end": starts + best[emit],
+                    }
+                )
+            )
+    return pd.concat(out, ignore_index=True) if out else empty
+
+
+def merge_spans(spans: DataFrame) -> DataFrame:
+    """Union overlapping/touching (doc_id, span_start, span_end) intervals —
+    pure window expressions (gaps-and-islands), identical logic to the
+    DuckDB oracle twin."""
+    w = Window.partitionBy("doc_id").orderBy("span_start", "span_end")
+    prev_end = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("span_start") > prev_end), 1).otherwise(0),
+    )
+    islanded = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islanded.groupBy("doc_id", "_island")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    min_match: int = 64,
+    k_gram: int = 24,
+    snippet_radius: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group_docs: int = 200,
+) -> DataFrame:
+    """(doc_id, span_start, span_end): merged 0-based byte ranges of every
+    cross-document verbatim run >= min_match — the corpus-cleaning output
+    of Lee et al. 2021 §4 (remove the duplicated bytes, keep the rest).
+
+    Exact-span recovery requires ``snippet_radius >= min_match`` (snippets
+    then tile any shared run end to end: in-run anchors are at most
+    w = min_match - k_gram + 1 apart and the first/last are within
+    k_gram + w - 1 = min_match bytes of the run edges).  Anchor positions
+    are NOT deduped per doc — intra-doc repeated content that is also
+    shared cross-doc must span every occurrence.  ASCII text assumed for
+    byte==char offset parity with the SQL oracle (same caveat as the pair
+    operator).  Hot anchors above ``max_group_docs`` distinct docs are
+    dropped (explicit skew guard)."""
+    if k_gram >= min_match:
+        raise ValueError("k_gram must be < min_match")
+    if snippet_radius < min_match:
+        raise ValueError(
+            "snippet_radius must be >= min_match for exact span recovery"
+        )
+    anchors = winnowing_anchors_two_phase(
+        docs, min_match, k_gram, snippet_radius, id_col, text_col,
+        max_group_docs=max_group_docs, dedup_anchors=False,
+    )
+    grouped = (
+        anchors.groupBy("anchor")
+        .agg(
+            F.collect_list(F.struct("doc_id", "snip_off", "snippet")).alias(
+                "members"
+            )
+        )
+        .where(F.size(F.array_distinct(F.transform(
+            "members", lambda m: m["doc_id"]))) >= 2)
+    )
+
+    chunk_bytes = 64 << 10
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            ids: list[int] = []
+            offs: list[int] = []
+            snips: list[str] = []
+            seen: set = set()
+            size = 0
+
+            def flush():
+                nonlocal ids, offs, snips, seen, size
+                if len(set(ids)) >= 2:
+                    outs.append(
+                        _find_spans_in_group(ids, offs, snips, min_match)
+                    )
+                ids, offs, snips, seen, size = [], [], [], set(), 0
+
+            for members in pdf["members"]:
+                uniq: dict = {}
+                for m in members:
+                    uniq[(int(m["doc_id"]), int(m["snip_off"]), m["snippet"])] = None
+                if len({d for d, _, _ in uniq}) < 2:
+                    continue
+                g_size = sum(len(s) for _, _, s in uniq)
+                if size + g_size > chunk_bytes and ids:
+                    flush()
+                for key in uniq:
+                    if key not in seen:
+                        seen.add(key)
+                        ids.append(key[0])
+                        offs.append(key[1])
+                        snips.append(key[2])
+                        size += len(key[2])
+            flush()
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "span_start": pd.Series([], dtype="int64"),
+                        "span_end": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
+
+    raw = grouped.mapInPandas(fn, schema=_SPAN_SCHEMA)
+    # pre-merge duplicates cheaply before the window (tiling snippets emit
+    # the same sub-span many times), then island-merge
+    return merge_spans(raw.distinct())
+
+
+def strip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_text): documents with their duplicated spans removed
+    byte-identically — pure Column expressions (sort spans per doc, fold
+    over them keeping the inter-span segments).
+
+    ``spans`` must be disjoint per doc (the ``merge_spans``d output of
+    ``substring_dup_spans``); offsets are 0-based, [start, end)."""
+    per_doc = spans.groupBy(F.col("doc_id").alias("_sid")).agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
+            "_spans"
+        )
+    )
+    d = docs.join(
+        per_doc, F.col(id_col) == F.col("_sid"), "left"
+    ).drop("_sid")
+    txt = F.col(text_col)
+    folded = F.aggregate(
+        "_spans",
+        F.struct(F.lit(0).cast("int").alias("pos"), F.lit("").alias("acc")),
+        lambda acc, s: F.struct(
+            s["span_end"].cast("int").alias("pos"),
+            F.concat(
+                acc["acc"],
+                txt.substr(
+                    acc["pos"] + 1, s["span_start"].cast("int") - acc["pos"]
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"], txt.substr(acc["pos"] + 1, F.length(txt) - acc["pos"])
+        ),
+    )
+    return d.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col("_spans").isNull(), txt).otherwise(folded).alias("clean_text"),
+    )
 
 
 def hot_anchor_count(docs: DataFrame, min_match: int = 64, k_gram: int = 24,

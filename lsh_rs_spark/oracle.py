@@ -979,6 +979,62 @@ GROUP BY src, dst HAVING MAX(cnt + {k_gram} - 1) >= {min_match}
 """.strip()
 
 
+def q_substring_spans(min_match: int = 48, k_gram: int = 16) -> str:
+    """Ground truth for duplicated-span extraction (Lee et al. 2021 §4):
+    (doc_id, span_start, span_end) — merged 0-based [start, end) char
+    ranges covered by some cross-document verbatim run >= min_match.
+
+    Same k-gram diagonal islands as ``q_substring_dups``, but each island
+    also yields its start offsets (MIN(pa)/MIN(pb) per diagonal run); both
+    sides emit a span, then overlapping-or-touching spans merge per doc
+    (gaps-and-islands over a running MAX(end)).  The Spark operator
+    recovers the identical ranges from winnowing-anchored snippet tiles +
+    per-group suffix arrays (operators/suffix.py:substring_dup_spans)."""
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT doc_id, i AS pos, substr(text, i, {k_gram}) AS g
+  FROM docs, UNNEST(RANGE(1, LENGTH(text) - {k_gram} + 2)) AS t(i)
+),
+hits AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT src, dst, pa, pb,
+         pa - ROW_NUMBER() OVER (PARTITION BY src, dst, pa - pb ORDER BY pa) AS grp,
+         pa - pb AS diag
+  FROM hits
+),
+isl AS (
+  SELECT src, dst, diag, grp,
+         MIN(pa) AS pa0, MIN(pb) AS pb0, COUNT(*) AS cnt
+  FROM runs GROUP BY src, dst, diag, grp
+),
+good AS (SELECT * FROM isl WHERE cnt + {k_gram} - 1 >= {min_match}),
+spans0 AS (
+  SELECT src AS doc_id, pa0 - 1 AS s, pa0 - 1 + cnt + {k_gram} - 1 AS e FROM good
+  UNION ALL
+  SELECT dst, pb0 - 1, pb0 - 1 + cnt + {k_gram} - 1 FROM good
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_i
+  FROM spans0
+),
+islands AS (
+  SELECT doc_id, s, e, SUM(new_i) OVER (
+    PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+FROM islands GROUP BY doc_id, island
+""".strip()
+
+
 def q_mips_buckets(cfg: MIPSConfig) -> str:
     return (
         f"WITH {_mips_ctes(cfg, query_mod=1 << 62)} "

