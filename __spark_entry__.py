@@ -397,6 +397,27 @@ def q_ivf_topk_seeded(spark, sf_dir):
     return IVF.ivf_topk_seeded(q, emb, mod=40, nprobe=3, k=ANN_K)
 
 
+def q_ivf_kmeans_centroids(spark, sf_dir):
+    # oracle-gated k-means TRAINING (judge r4 item 5): integer-exact
+    # distributed Lloyd — fixed-point vectors, BIGINT argmin assignment,
+    # integer-sum + floor-div centroid updates; DuckDB unrolls the
+    # identical 2 iterations
+    from lsh_rs_spark.operators import ivf as IVF
+
+    C = IVF.train_centroids_exact(_emb(spark, sf_dir), init_mod=40, iters=2)
+    return C.select("list_id", F.posexplode("c").alias("d", "c"))
+
+
+def q_ivf_topk_trained(spark, sf_dir):
+    # oracle-gated: the FULL trained-codebook IVF chain
+    # (train -> assign -> nprobe probe -> exact cosine re-rank)
+    from lsh_rs_spark.operators import ivf as IVF
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return IVF.ivf_topk_trained(q, emb, init_mod=40, iters=2, nprobe=4, k=ANN_K)
+
+
 def q_minhash_multiprobe_candidates(spark, sf_dir):
     # oracle-gated: MinHash-family multi-probe (second-minimum substitution,
     # kperm) — DuckDB ranks the same integer gap scores and unions the same
@@ -454,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_multiprobe_candidates": q_l2_multiprobe_candidates,
         "minhash_multiprobe_candidates": q_minhash_multiprobe_candidates,
         "ivf_topk_seeded": q_ivf_topk_seeded,
+        "ivf_kmeans_centroids": q_ivf_kmeans_centroids,
+        "ivf_topk_trained": q_ivf_topk_trained,
     }
 
 
@@ -506,5 +529,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_topk_seeded": O.q_ivf_topk_seeded(
             mod=40, nprobe=3, k=ANN_K, query_mod=ANN_QUERY_MOD
+        ),
+        "ivf_kmeans_centroids": O.q_ivf_kmeans_centroids(init_mod=40, iters=2),
+        "ivf_topk_trained": O.q_ivf_topk_trained(
+            init_mod=40, iters=2, nprobe=4, k=ANN_K, query_mod=ANN_QUERY_MOD
         ),
     }

@@ -979,6 +979,126 @@ GROUP BY src, dst HAVING MAX(cnt + {k_gram} - 1) >= {min_match}
 """.strip()
 
 
+def _ivf_lloyd_ctes(
+    init_mod: int, iters: int, sample_mod: int = 1, dim: int = 64,
+    scale: int = 1 << 22,
+) -> tuple[str, str]:
+    """Unrolled integer-exact Lloyd iterations (twin of
+    ivf.train_centroids_exact).  Everything is BIGINT: fixed-point
+    floor(x*scale) vectors, integer squared-L2 argmin (ties by list_id),
+    integer sums + pmod floor-division centroid updates — bit-identical to
+    the Spark path by construction, no float summation-order hazard."""
+    samp_where = f" WHERE vec_id % {sample_mod} = 0" if sample_mod > 1 else ""
+    parts = [
+        f"""fp AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding,
+    x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        f"samp AS (SELECT * FROM fp{samp_where})",
+        f"c0 AS (SELECT vec_id AS list_id, q AS c FROM fp WHERE vec_id % {init_mod} = 0)",
+    ]
+
+    def sq(a: str, b: str) -> str:
+        return (
+            f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1), "
+            f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])))"
+        )
+
+    for t in range(1, iters + 1):
+        p = f"c{t - 1}"
+        sv = "SUM(s.q[t.i])"
+        parts += [
+            f"""a{t} AS (
+  SELECT vec_id, list_id FROM (
+    SELECT s.vec_id, c.list_id,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                         ORDER BY {sq('s.q', 'c.c')} ASC, c.list_id ASC) AS rn
+    FROM samp s CROSS JOIN {p} c
+  ) WHERE rn = 1
+)""",
+            f"""u{t} AS (
+  SELECT a.list_id, t.i,
+         CAST(({sv} - (({sv} % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)
+              AS BIGINT) AS cd
+  FROM a{t} a JOIN samp s USING (vec_id), UNNEST(RANGE(1, {dim} + 1)) AS t(i)
+  GROUP BY a.list_id, t.i
+)""",
+            f"""g{t} AS (
+  SELECT c.list_id, t.i, c.c[t.i] AS c_prev
+  FROM {p} c, UNNEST(RANGE(1, {dim} + 1)) AS t(i)
+)""",
+            f"""c{t} AS (
+  SELECT g.list_id, LIST(COALESCE(u.cd, g.c_prev) ORDER BY g.i) AS c
+  FROM g{t} g LEFT JOIN u{t} u ON u.list_id = g.list_id AND u.i = g.i
+  GROUP BY g.list_id
+)""",
+        ]
+    return ",\n".join(parts), f"c{iters}"
+
+
+def q_ivf_kmeans_centroids(
+    init_mod: int = 40, iters: int = 2, dim: int = 64
+) -> str:
+    """Twin of ivf.train_centroids_exact: long-form (list_id, d, c)
+    trained centroids after ``iters`` exact Lloyd updates."""
+    ctes, last = _ivf_lloyd_ctes(init_mod, iters, dim=dim)
+    return f"""
+WITH {ctes}
+SELECT list_id, t.i - 1 AS d, c[t.i] AS c
+FROM {last}, UNNEST(RANGE(1, {dim} + 1)) AS t(i)
+""".strip()
+
+
+def q_ivf_topk_trained(
+    init_mod: int = 40, iters: int = 2, nprobe: int = 4, k: int = 5,
+    query_mod: int = 100, dim: int = 64,
+) -> str:
+    """Twin of ivf.ivf_topk_trained: the full train→assign→probe→re-rank
+    chain over the integer-exact Lloyd codebook.  Assignment/probing rank
+    by exact BIGINT squared-L2 (no float ties possible); the final re-rank
+    uses the same sequential-fold double cosine as every other gated
+    embedding twin (no-tie assumption at the top-k cutoff only)."""
+    ctes, last = _ivf_lloyd_ctes(init_mod, iters, dim=dim)
+    sq = (
+        f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1), "
+        "i -> ((e.q)[i] - (c.c)[i]) * ((e.q)[i] - (c.c)[i])))"
+    )
+    cos = _cos("q.embedding", "n.embedding")
+    return f"""
+WITH {ctes},
+ranked AS (
+  SELECT e.vec_id, c.list_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sq} ASC, c.list_id ASC) AS rn
+  FROM fp e CROSS JOIN {last} c
+),
+idx AS (
+  SELECT vec_id AS neighbor_id, list_id FROM ranked WHERE rn <= 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM ranked
+  WHERE rn <= {nprobe} AND vec_id % {query_mod} = 0
+),
+cand AS (
+  SELECT DISTINCT p.query_id, i.neighbor_id
+  FROM probes p JOIN idx i USING (list_id)
+  WHERE i.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+
+
 def q_substring_spans(min_match: int = 48, k_gram: int = 16) -> str:
     """Ground truth for duplicated-span extraction (Lee et al. 2021 §4):
     (doc_id, span_start, span_end) — merged 0-based [start, end) char
