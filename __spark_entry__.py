@@ -23,7 +23,12 @@ from lsh_rs_spark.config import (  # noqa: E402
     ORACLE_MIPS,
     ORACLE_SIMHASH,
     ORACLE_SRP,
+    SimHashConfig,
 )
+
+#: simhash-multiprobe gate config: threshold > bands-1 so the pigeonhole
+#: guarantee no longer covers the ball and probing genuinely adds pairs
+MP_SIM = SimHashConfig(n_bits=32, bands=4, hamming_threshold=5)
 from lsh_rs_spark.functions import text as T  # noqa: E402
 from lsh_rs_spark.operators import ann as ANN  # noqa: E402
 from lsh_rs_spark.operators import components as CC  # noqa: E402
@@ -173,6 +178,18 @@ def q_simhash_signatures(spark, sf_dir):
 
 def q_simhash_pairs(spark, sf_dir):
     return SH.simhash_near_dup_pairs(_docs(spark, sf_dir), SIM, use_udf=True)
+
+
+def q_simhash_multiprobe_pairs(spark, sf_dir):
+    # oracle-gated: store-side multiprobe THROUGH the fused pairing plan
+    # (judge r4 item 8) — band keys within Hamming 1 (step-wise budget)
+    # collide, exact bit_count verify in-row.  threshold=5 > bands-1: the
+    # pigeonhole guarantee of plain banding no longer covers the whole
+    # Hamming ball, so probing genuinely adds pairs (plain banding at the
+    # oracle threshold 3 would make this gate a no-op twin of
+    # simhash_pairs)
+    sk = SH.simhash_sketches(_docs(spark, sf_dir), MP_SIM, use_udf=True)
+    return SH.simhash_multiprobe_pairs_from_sketches(sk, MP_SIM, budget=4)
 
 
 def q_token_counts(spark, sf_dir):
@@ -453,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components_star": q_dup_components_star,
         "simhash_signatures": q_simhash_signatures,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_multiprobe_pairs": q_simhash_multiprobe_pairs,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -500,6 +518,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_components_star": O.q_components(CFG),
         "simhash_signatures": O.q_simhash_signatures(SIM),
         "simhash_pairs": O.q_simhash_pairs(SIM),
+        "simhash_multiprobe_pairs": O.q_simhash_multiprobe_pairs(
+            MP_SIM, budget=4
+        ),
         "token_counts": O.q_token_counts(),
         "quality_scores": O.q_quality_scores(),
         "lang_id": O.q_lang_id(),

@@ -101,15 +101,28 @@ def connected_components(
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
-        if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
         # convergence check via one cheap scan, not a self-join: hash-min
         # labels are monotonically non-increasing per node, so the exact
         # label sum strictly decreases until the fixpoint —
         # sum unchanged ⟺ no label changed.  (Non-integral ids take the
         # join-based changed-count instead — see dispatch above.)
+        # When checkpointing, the sum rides the checkpoint job as an
+        # observe() metric: ONE job per round instead of two, no second
+        # scan over the labels (scaling: per-round driver latency is the
+        # non-parallel term of the CC stage).
+        obs = None
+        if numeric_ids and checkpoint:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_labels = new_labels.observe(
+                obs,
+                F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("ls"),
+            )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
         if numeric_ids:
-            new_sum = label_sum(new_labels)
+            new_sum = obs.get["ls"] if obs is not None else label_sum(new_labels)
             converged = new_sum == prev_sum
             prev_sum = new_sum
         else:
@@ -214,18 +227,23 @@ def _star_loop(e: DataFrame, max_iters: int, strict: bool) -> DataFrame:
             .where(F.col("v") != F.col("_smn"))
             .select(F.col("v").alias("u"), F.col("_smn").alias("v"))
         )
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_e = (
             large.unionByName(small_self)
             .unionByName(small_nbrs)
             .where(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))  # rides the
+            # checkpoint job — one job per round, no separate count scan
             .localCheckpoint(eager=True)
         )
         # cheap convergence pre-check: star contraction only ever shrinks or
         # reshapes the edge set, so a count change proves non-convergence
         # without the two full exceptAll comparisons (they run only on the
         # final candidate round)
-        new_count = new_e.count()
+        new_count = obs.get["n"]
         if new_count != prev_count:
             changed = 1
         else:

@@ -211,7 +211,7 @@ def dropped_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Within-bucket pairing → distinct (src, dst), src < dst.
 
-    Single shuffle on (band_idx, band_key) with map-side partial aggregation
+    Single shuffle on the bucket key with map-side partial aggregation
     (collect_list), then in-row pair explosion — replaces the self-join
     formulation, which shuffled the bucket table twice (window count + join
     sides).  Per-bucket fanout is bounded by the cap (m² pairs materialize
@@ -219,7 +219,24 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     Skew note: a hot band_key still lands on one reducer, but its work is
     bounded by the cap; dropped hot buckets are counted via
     ``dropped_buckets`` (never silent).
-    """
+
+    Production family (xxhash64): (band_idx, band_key) is FOLDED map-side
+    into one 8-byte key ``xxhash64(band_idx, band_key)`` — the dominant
+    exchange of the pipeline then carries 2 longs per row instead of
+    (int, long, long), and the guard window + aggregation sort/group a
+    single column.  Grouping semantics are unchanged up to a 2^-64 key
+    collision, which merely merges two buckets — the exact-verify stage
+    rejects any spurious pair (the same argument that justifies hashed
+    band keys at all, explode_bands docstring).  The md5_64 oracle family
+    keeps the exact (band_idx, band_key) grouping — gates stay
+    assumption-free."""
+    if cfg.hash_family == "xxhash64":
+        folded = buckets.select(
+            F.xxhash64("band_idx", "band_key").alias("_bkey"), "doc_id"
+        )
+        return pairs_from_buckets(
+            folded, ["_bkey"], cfg.max_bucket_size, id_col="doc_id"
+        )
     return pairs_from_buckets(
         buckets, ["band_idx", "band_key"], cfg.max_bucket_size, id_col="doc_id"
     )

@@ -285,6 +285,38 @@ WHERE BIT_COUNT(xor(h_src, h_dst)) <= {cfg.hamming_threshold}
 """.strip()
 
 
+def q_simhash_multiprobe_pairs(cfg: SimHashConfig, budget: int) -> str:
+    """Twin of simhash_ops.simhash_multiprobe_pairs_from_sketches: pairs
+    whose band keys are Hamming <= 1 apart in some band (original×original
+    or original×single-bit-probe within the step-wise budget), exact-
+    Hamming filtered.  Pure integer arithmetic — bit-exact."""
+    bpb = cfg.bits_per_band
+    mask = (1 << bpb) - 1
+    return f"""
+WITH {simhash_ctes(cfg)},
+bands AS (
+  SELECT doc_id, simhash, bi AS band_idx,
+         (simhash >> (bi * {bpb})) & {mask} AS band_key
+  FROM sketches CROSS JOIN (SELECT UNNEST(RANGE(0, {cfg.bands})) AS bi)
+),
+expanded AS (
+  SELECT doc_id, simhash, band_idx, band_key, 0 AS is_probe FROM bands
+  UNION ALL
+  SELECT doc_id, simhash, band_idx, xor(band_key, 1 << b), 1
+  FROM bands CROSS JOIN (SELECT UNNEST(RANGE(0, {budget})) AS b)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst,
+         l.simhash AS h_src, r.simhash AS h_dst
+  FROM expanded l JOIN expanded r USING (band_idx, band_key)
+  WHERE l.doc_id < r.doc_id AND l.is_probe + r.is_probe <= 1
+)
+SELECT src, dst, CAST(BIT_COUNT(xor(h_src, h_dst)) AS INTEGER) AS hamming
+FROM pairs
+WHERE BIT_COUNT(xor(h_src, h_dst)) <= {cfg.hamming_threshold}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # text analysis (builders imported from functions.text)
 # ---------------------------------------------------------------------------

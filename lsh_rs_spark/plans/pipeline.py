@@ -46,10 +46,18 @@ STAGES = (
 
 
 class DedupPipeline:
-    def __init__(self, spark: SparkSession, cfg: DedupConfig, workdir: str):
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, workdir: str,
+                 store: StageStore | None = None):
+        """``store``: pre-configured StageStore (e.g. bound to a catalog —
+        Iceberg in production, the JDBC V2 catalog in the integration
+        tests); default is the auto-detecting parquet/catalog store."""
         self.spark = spark
         self.cfg = cfg
-        self.store = StageStore(spark, workdir, config_fingerprint=cfg.to_json())
+        self.store = store or StageStore(
+            spark, workdir, config_fingerprint=cfg.to_json()
+        )
+        if store is not None and not store.config_fingerprint:
+            store.config_fingerprint = cfg.to_json()
         self.metrics: dict = {}
 
     def _stage(self, name: str, build, parents: tuple[str, ...], resume: bool, **kw):

@@ -46,17 +46,52 @@ class StageStore:
     config_fingerprint: str = ""
     use_iceberg: bool | None = None
     namespace: str = "lsh_rs"
+    #: explicit catalog name (multi-catalog sessions / runtime-set confs —
+    #: auto-detection only sees static sparkContext conf)
+    catalog: str | None = None
+    #: provider passed to ``writeTo(...).using(...)``; None lets the
+    #: catalog's default table format apply (e.g. the built-in JDBC V2
+    #: catalog used by the integration tests rejects a provider clause)
+    table_format: str | None = "iceberg"
     _catalog: str | None = field(default=None, init=False)
 
     def __post_init__(self) -> None:
         os.makedirs(self.root, exist_ok=True)
-        self._catalog = _iceberg_catalog(self.spark)
+        self._catalog = self.catalog or _iceberg_catalog(self.spark)
         if self.use_iceberg is None:
             self.use_iceberg = self._catalog is not None
         if self.use_iceberg and self._catalog is None:
             raise ValueError(
                 "use_iceberg=True but no spark.sql.catalog.* is configured"
             )
+        if self.use_iceberg:
+            self._preflight_catalog()
+
+    def _preflight_catalog(self) -> None:
+        """Fail fast, actionably, BEFORE any stage work if the configured
+        catalog implementation is not on the classpath (e.g. the Iceberg
+        runtime jar is missing) — otherwise the first symptom is a
+        mid-pipeline ClassNotFoundException after expensive stages ran.
+        Probes the real JVM classloader, so a test can exercise this path
+        without any Iceberg jar present."""
+        key = f"spark.sql.catalog.{self._catalog}"
+        impl = self.spark.conf.get(key, None)
+        if impl is None:
+            raise ValueError(
+                f"catalog {self._catalog!r} requested but {key} is not set"
+            )
+        try:
+            self.spark._jvm.java.lang.Class.forName(impl)  # type: ignore[union-attr]
+        except Exception as e:
+            raise RuntimeError(
+                f"catalog implementation {impl!r} ({key}) is not loadable — "
+                "is the runtime jar on the classpath?  For Iceberg, submit "
+                "with --packages org.apache.iceberg:iceberg-spark-runtime-"
+                "<spark_ver>_<scala_ver>:<iceberg_ver> (or spark.jars)."
+            ) from e
+        self.spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self._catalog}.{self.namespace}"
+        )
 
     def _identifier(self, name: str) -> str:
         return f"{self._catalog}.{self.namespace}.{name}"
@@ -145,7 +180,9 @@ class StageStore:
         Iceberg snapshot commit (the reference's durable-backend contract,
         `lsh-rs/src/table/sqlite.rs:107-356` — transactional replace)."""
         ident = self._identifier(name)
-        writer = df.writeTo(ident).using("iceberg")
+        writer = df.writeTo(ident)
+        if self.table_format:
+            writer = writer.using(self.table_format)
         if partition_by:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         writer.createOrReplace()

@@ -72,7 +72,7 @@ sig = L.signatures(docs, cfg).persist()
 buckets = L.explode_bands(sig, cfg)
 pairs = L.candidate_pairs(buckets, cfg).localCheckpoint(eager=True)
 edges = V.jaccard_edges(pairs, sig, cfg).localCheckpoint(eager=True)
-comps = CC.connected_components(edges, cfg.cc_max_iters)
+comps = CC.resolve_cc(cfg.cc_algorithm)(edges, cfg.cc_max_iters)
 keep = CC.dedup_representatives(CC.with_singletons(comps, sig))
 removed = keep.where(~F.col("is_representative")).count()
 wall = time.time() - t0
