@@ -138,11 +138,17 @@ class SimHashLSH:
         self._sketches = SH.simhash_sketches(docs, self.cfg, id_col=id_col).persist()
         return self
 
-    def near_dup_pairs(self) -> DataFrame:
+    def near_dup_pairs(self, probe_budget: int = 0) -> DataFrame:
+        """Fused pairing (Hamming-filtered in-row before any shuffle).
+        ``probe_budget`` > 0 adds store-side single-bit-flip probing — a
+        recall lever for thresholds beyond the banding pigeonhole — at
+        (1+budget)× index-exchange cost, no re-banding."""
         if self._sketches is None:
             raise RuntimeError("call fit() first")
-        # fused plan: pairs are Hamming-filtered in-row before any shuffle
-        # (operators/simhash_ops.simhash_pairs_from_sketches)
+        if probe_budget:
+            return SH.simhash_multiprobe_pairs_from_sketches(
+                self._sketches, self.cfg, probe_budget
+            )
         return SH.simhash_pairs_from_sketches(self._sketches, self.cfg)
 
     def dedup(self, docs: DataFrame, id_col: str = "doc_id",
