@@ -341,6 +341,18 @@ def resolve_cc(algorithm: str):
     }[algorithm]
 
 
+# The convergence-telemetry function attributes are driver-side mutable
+# state for run manifests: last-call-wins, read-after-the-call-you-made
+# (one pipeline per driver at a time — the documented contract).
+# Initialize at import so a manifest reader that runs before any CC call
+# (e.g. a fully-resumed pipeline skipping the components stage) reads
+# None instead of raising AttributeError.
+connected_components.last_converged_in = None
+connected_components_star.last_converged_in = None
+connected_components_auto.last_converged_in = None
+connected_components_auto.fell_back = None
+
+
 def with_singletons(labels: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Every doc gets a cluster id; docs absent from the edge graph are their
     own singleton cluster."""

@@ -464,6 +464,7 @@ def winnowing_anchors_two_phase(
     text_col: str = "text",
     max_group_docs: int = 200,
     dedup_anchors: bool = True,
+    binary_snippets: bool = False,
 ) -> DataFrame:
     """Two-phase anchor generator: (doc_id, anchor, snip_off, snippet).
 
@@ -476,10 +477,17 @@ def winnowing_anchors_two_phase(
 
     ``dedup_anchors=False`` (span mode) keeps every anchor position; the
     collision filter then counts DISTINCT docs per anchor (with dedup the
-    plain row count is already the distinct-doc count)."""
+    plain row count is already the distinct-doc count).
+
+    ``binary_snippets=True`` emits ``snippet`` as raw BYTES (BinaryType)
+    instead of a decoded string: a byte slice that cuts a multibyte UTF-8
+    char mid-sequence round-trips losslessly as bytes, whereas
+    decode('utf-8','ignore') silently DROPS the partial leading char and
+    shifts every downstream byte offset — required for byte-exact span
+    offsets on non-ASCII text (span mode always uses it)."""
     from collections.abc import Iterator
 
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
     light = winnowing_positions_kernel(
         docs, min_match, k_gram, id_col, text_col, dedup_anchors=dedup_anchors
@@ -507,7 +515,9 @@ def winnowing_anchors_two_phase(
             StructField("doc_id", LongType()),
             StructField("anchor", LongType()),
             StructField("snip_off", LongType()),
-            StructField("snippet", StringType()),
+            StructField(
+                "snippet", BinaryType() if binary_snippets else StringType()
+            ),
         ]
     )
 
@@ -519,11 +529,12 @@ def winnowing_anchors_two_phase(
                 for row in aps:
                     a, p = int(row["anchor"]), int(row["pos"])
                     lo = max(0, p - snippet_radius)
+                    raw = data[lo : lo + 2 * snippet_radius]
                     out["doc_id"].append(int(doc_id))
                     out["anchor"].append(a)
                     out["snip_off"].append(lo)
                     out["snippet"].append(
-                        data[lo : lo + 2 * snippet_radius].decode("utf-8", "ignore")
+                        raw if binary_snippets else raw.decode("utf-8", "ignore")
                     )
             yield pd.DataFrame(out)
 
@@ -719,8 +730,15 @@ def _find_spans_in_group(
     prefix — the union of those spans over all tiling snippets is exactly
     the duplicated regions (winnowing places anchors at most w apart inside
     any shared run, and snippet_radius >= min_match covers the run's edges
-    past the first/last in-run anchor)."""
-    texts = [s.encode("utf-8", "ignore") for s in snips]
+    past the first/last in-run anchor).
+
+    Snippets may be BYTES (the span path's lossless transport — exact byte
+    offsets on non-ASCII text) or str (encoded here, ASCII-exact)."""
+    texts = [
+        bytes(s) if isinstance(s, (bytes, bytearray, memoryview))
+        else s.encode("utf-8", "ignore")
+        for s in snips
+    ]
     parts = []
     for idx, t in enumerate(texts):
         parts.append(t)
@@ -823,10 +841,13 @@ def substring_dup_spans(
     w = min_match - k_gram + 1 apart and the first/last are within
     k_gram + w - 1 = min_match bytes of the run edges).  Anchor positions
     are NOT deduped per doc — intra-doc repeated content that is also
-    shared cross-doc must span every occurrence.  ASCII text assumed for
-    byte==char offset parity with the SQL oracle (same caveat as the pair
-    operator).  Hot anchors above ``max_group_docs`` distinct docs are
-    dropped (explicit skew guard)."""
+    shared cross-doc must span every occurrence.  Offsets are BYTE offsets
+    into the UTF-8 encoding and are exact for any input (snippets travel
+    as lossless bytes); the byte==char equivalence the SQL oracle twin
+    relies on additionally requires ASCII text (same caveat as the pair
+    operator's gate).  Hot anchors above ``max_group_docs`` distinct docs
+    (or ``4*max_group_docs`` total positions) are dropped (explicit skew
+    guard)."""
     if k_gram >= min_match:
         raise ValueError("k_gram must be < min_match")
     if snippet_radius < min_match:
@@ -836,7 +857,21 @@ def substring_dup_spans(
     anchors = winnowing_anchors_two_phase(
         docs, min_match, k_gram, snippet_radius, id_col, text_col,
         max_group_docs=max_group_docs, dedup_anchors=False,
+        binary_snippets=True,  # lossless byte transport: exact offsets
+        # even when a snippet slice cuts a multibyte UTF-8 char
     )
+    # Span mode keeps EVERY anchor position, so the distinct-doc cap alone
+    # does not bound a group: one boilerplate-spam doc repeating a block
+    # 50k times would collect 50k snippet structs into a single
+    # aggregation row.  Guard total member ROWS per anchor BEFORE the
+    # collect (window count on the same partitioning — no extra exchange,
+    # same mechanism as the pairing path's bucket_guard); dropped hot
+    # anchors are the documented skew policy, never silent
+    # (max_group_rows plays the max_bucket_size role).
+    from lsh_rs_spark.operators.lsh import bucket_guard
+
+    max_group_rows = 4 * max_group_docs
+    anchors = bucket_guard(anchors, ["anchor"], max_group_rows)
     grouped = (
         anchors.groupBy("anchor")
         .agg(
@@ -913,7 +948,14 @@ def strip_spans(
     over them keeping the inter-span segments).
 
     ``spans`` must be disjoint per doc (the ``merge_spans``d output of
-    ``substring_dup_spans``); offsets are 0-based, [start, end)."""
+    ``substring_dup_spans``); offsets are 0-based BYTE offsets, [start,
+    end).  The fold runs over the UTF-8 BYTES (encode → binary substr →
+    decode), so byte offsets index correctly on non-ASCII text too —
+    char-based substr would silently shift every cut on a doc with any
+    multibyte char.  If a span boundary cuts a multibyte char (possible:
+    winnowing grams are byte-aligned), the decode of the cut edge is
+    lossy at that edge only — inherent to byte-level span dedup (Lee et
+    al. operate on bytes)."""
     per_doc = spans.groupBy(F.col("doc_id").alias("_sid")).agg(
         F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
             "_spans"
@@ -922,10 +964,13 @@ def strip_spans(
     d = docs.join(
         per_doc, F.col(id_col) == F.col("_sid"), "left"
     ).drop("_sid")
-    txt = F.col(text_col)
+    txt = F.encode(F.col(text_col), "UTF-8")  # byte-true indexing
     folded = F.aggregate(
         "_spans",
-        F.struct(F.lit(0).cast("int").alias("pos"), F.lit("").alias("acc")),
+        F.struct(
+            F.lit(0).cast("int").alias("pos"),
+            F.lit(b"").alias("acc"),
+        ),
         lambda acc, s: F.struct(
             s["span_end"].cast("int").alias("pos"),
             F.concat(
@@ -941,7 +986,9 @@ def strip_spans(
     )
     return d.select(
         F.col(id_col).alias("doc_id"),
-        F.when(F.col("_spans").isNull(), txt).otherwise(folded).alias("clean_text"),
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(F.decode(folded, "UTF-8"))
+        .alias("clean_text"),
     )
 
 

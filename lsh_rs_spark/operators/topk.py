@@ -34,11 +34,16 @@ BROADCAST_PROBE_ROW_LIMIT = 1_000_000
 #: Memoized query-side counts for the adaptive-broadcast decision, keyed
 #: by the analyzed plan's semanticHash — predict-in-a-loop on the same
 #: query frame (or any frame with an identical plan) pays the count job
-#: ONCE, not once per call (judge r4 item 6 / advisor r4).  A stale entry
-#: can only mis-size the broadcast *hint* (AQE still re-plans the join),
-#: never change results.  FIFO-bounded.
-_COUNT_MEMO: dict[int, int] = {}
+#: ONCE, not once per call (judge r4 item 6 / advisor r4).  Entries
+#: expire after ``_COUNT_MEMO_TTL`` seconds: the semantic hash identifies
+#: the PLAN, not the data, so a long-lived service predicting against a
+#: growing table must not keep hinting broadcast from a count taken when
+#: the table was small (an explicit F.broadcast hint is honored
+#: regardless of actual size — a stale "small" verdict could OOM the
+#: join).  FIFO-bounded.
+_COUNT_MEMO: dict[int, tuple[int, float]] = {}
 _COUNT_MEMO_MAX = 256
+_COUNT_MEMO_TTL = 300.0  # seconds
 
 
 def _memo_key(df: DataFrame) -> int | None:
@@ -58,20 +63,25 @@ def resolve_probe_broadcast(
 
     None → count the query side (hint broadcast only when the exploded
     probe-key rows stay under ``limit``).  The count is memoized on the
-    plan's semantic hash, so repeated predicts over the same query frame
-    run the job once; an explicit bool skips it entirely.  Each operator
-    passes its own exact ``keys_per_query`` fan-out."""
+    plan's semantic hash with a 5-minute TTL, so repeated predicts over
+    the same query frame run the job once per TTL window; an explicit
+    bool skips it entirely.  Each operator passes its own exact
+    ``keys_per_query`` fan-out."""
     if broadcast is not None:
         return broadcast
+    import time as _time
+
     key = _memo_key(queries)
-    if key is not None and key in _COUNT_MEMO:
-        n = _COUNT_MEMO[key]
+    now = _time.monotonic()
+    hit = _COUNT_MEMO.get(key) if key is not None else None
+    if hit is not None and now - hit[1] <= _COUNT_MEMO_TTL:
+        n = hit[0]
     else:
         n = queries.count()
         if key is not None:
             if len(_COUNT_MEMO) >= _COUNT_MEMO_MAX:
                 _COUNT_MEMO.pop(next(iter(_COUNT_MEMO)))
-            _COUNT_MEMO[key] = n
+            _COUNT_MEMO[key] = (n, now)
     return n * keys_per_query <= limit
 
 

@@ -80,15 +80,26 @@ class StageStore:
             raise ValueError(
                 f"catalog {self._catalog!r} requested but {key} is not set"
             )
+        # Probe through Spark's own Utils.classForName (the session
+        # classloader — sees --packages/--jars, unlike raw py4j
+        # reflection).  Only a POSITIVE ClassNotFound blocks construction;
+        # an inconclusive probe (Spark Connect has no _jvm, or a
+        # classloader quirk) must never fail a catalog that writeTo()
+        # would accept — those surface their own errors at write time.
         try:
-            self.spark._jvm.java.lang.Class.forName(impl)  # type: ignore[union-attr]
+            jvm = getattr(self.spark, "_jvm", None)
+            if jvm is not None:
+                jvm.org.apache.spark.util.Utils.classForName(impl, False, True)
         except Exception as e:
-            raise RuntimeError(
-                f"catalog implementation {impl!r} ({key}) is not loadable — "
-                "is the runtime jar on the classpath?  For Iceberg, submit "
-                "with --packages org.apache.iceberg:iceberg-spark-runtime-"
-                "<spark_ver>_<scala_ver>:<iceberg_ver> (or spark.jars)."
-            ) from e
+            if "ClassNotFoundException" in str(e):
+                raise RuntimeError(
+                    f"catalog implementation {impl!r} ({key}) is not on the "
+                    "classpath — is the runtime jar missing?  For Iceberg, "
+                    "submit with --packages org.apache.iceberg:"
+                    "iceberg-spark-runtime-<spark_ver>_<scala_ver>:"
+                    "<iceberg_ver> (or spark.jars)."
+                ) from e
+            # probe unavailable/inconclusive — do not block the catalog
         self.spark.sql(
             f"CREATE NAMESPACE IF NOT EXISTS {self._catalog}.{self.namespace}"
         )

@@ -785,3 +785,63 @@ def test_simhash_store_side_multiprobe_expands_fused_pairs(spark):
 
     with pytest.raises(ValueError, match="budget"):
         SH.simhash_multiprobe_pairs_from_sketches(sk, cfg, budget=99)
+
+
+def test_substring_spans_and_strip_byte_true_on_non_ascii(spark):
+    """Self-review r5: span offsets and stripping must be BYTE-true on
+    non-ASCII text — snippets travel as lossless bytes (a slice cutting a
+    multibyte char must not shift offsets) and strip_spans folds over the
+    UTF-8 bytes, not chars."""
+    import random
+
+    from lsh_rs_spark.operators.suffix import merge_spans  # noqa: F401
+    from lsh_rs_spark.operators.suffix import strip_spans, substring_dup_spans
+
+    rng = random.Random(29)
+    alpha = "abcdéfghïj 你好"  # multibyte chars throughout
+    rnd = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    shared = rnd(70)  # ~70 chars, >> 70 bytes in UTF-8
+    docs = {
+        1: rnd(60) + shared + rnd(40),
+        2: rnd(25) + shared + rnd(80),
+        3: rnd(150),
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id: long, text: string")
+    spans_df = substring_dup_spans(
+        df, min_match=48, k_gram=16, snippet_radius=64
+    ).cache()
+    got = {}
+    for r in spans_df.collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {d: sorted(v) for d, v in got.items()}
+
+    # byte-level oracle: the maximal shared byte run around the planted
+    # block (byte offsets in the UTF-8 encoding)
+    b = {d: t.encode("utf-8") for d, t in docs.items()}
+    sb = shared.encode("utf-8")
+    exp = {}
+    for d in (1, 2):
+        start = b[d].index(sb)
+        end = start + len(sb)
+        # planted block may extend by shared prefix/suffix bytes with the
+        # other doc's random flanks — widen to the true maximal run
+        o = 2 if d == 1 else 1
+        so = b[o].index(sb)
+        while start > 0 and so > 0 and b[d][start - 1] == b[o][so - 1]:
+            start -= 1
+            so -= 1
+        eo = so + (end - start)
+        while end < len(b[d]) and eo < len(b[o]) and b[d][end] == b[o][eo]:
+            end += 1
+            eo += 1
+        exp[d] = [(start, end)]
+    assert got == exp, f"got {got} want {exp}"
+    assert 3 not in got
+
+    clean = {r.doc_id: r.clean_text for r in strip_spans(df, spans_df).collect()}
+    for d in (1, 2):
+        (s, e), = exp[d]
+        want = (b[d][:s] + b[d][e:]).decode("utf-8")  # boundaries are
+        # char-aligned here (runs are maximal over full chars)
+        assert clean[d] == want, f"doc {d} strip not byte-true"
+    assert clean[3] == docs[3]

@@ -111,7 +111,9 @@ def main() -> None:
               f"removed={r['removed']}", file=sys.stderr)
     assert res[str(low)]["removed"] == res[str(high)]["removed"]
     speed = {
-        k: round(res[str(low)]["stages"][k] / res[str(high)]["stages"][k], 2)
+        # guard the 1-decimal child rounding: a sub-50ms stage would
+        # otherwise ZeroDivisionError after the whole benchmark ran
+        k: round(res[str(low)]["stages"][k] / max(res[str(high)]["stages"][k], 0.1), 2)
         for k in res[str(low)]["stages"]
     }
     summary = {
