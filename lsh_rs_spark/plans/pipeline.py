@@ -11,6 +11,9 @@ Stage graph::
                                  ├─ dropped_buckets (cap counters)
                                  └─ candidate_pairs ─ edges ─ components ─ keep_list
 
+plus the optional sub-document pass (``run_span_cleaning`` /
+``--span-cleaning``): survivors ─ substring_spans ─ clean_docs.
+
 Usage:
     spark-submit --py-files lsh_rs_spark.zip -m lsh_rs_spark.plans.pipeline \
         --input /path/docs.parquet --workdir /path/run1 [--resume]
@@ -63,7 +66,10 @@ class DedupPipeline:
     def _stage(self, name: str, build, parents: tuple[str, ...], resume: bool, **kw):
         if resume and self.store.is_committed(name):
             m = self.store.manifest(name)
-            if m.get("config") == self.cfg.to_json():
+            # compare against the STORE fingerprint (== cfg.to_json() for
+            # the dedup stages; span stages append their own params so a
+            # min_match change cannot silently resume stale spans)
+            if m.get("config") == self.store.config_fingerprint:
                 self.metrics[name] = {"rows": m["rows"], "resumed": True}
                 return self.store.read(name)
             # config changed → stale checkpoint is not reusable
@@ -182,6 +188,75 @@ class DedupPipeline:
             json.dump(self.metrics, f, indent=1)
         return keep
 
+    def run_span_cleaning(
+        self,
+        docs: DataFrame,
+        min_match: int = 64,
+        k_gram: int = 24,
+        snippet_radius: int = 128,
+        max_group_docs: int = 200,
+        resume: bool = True,
+    ) -> DataFrame:
+        """Sub-document corpus cleaning (Lee et al. 2021 §4), checkpointed:
+        duplicated byte-range extraction → byte-true span stripping.
+
+        Stage graph::
+
+            docs ─ substring_spans ─ clean_docs
+
+        Returns (doc_id, clean_text) for EVERY input doc (docs without a
+        duplicated span pass through verbatim).  Complements ``run`` (doc-
+        level near-dup removal): a training-data job typically runs both —
+        drop whole near-dup documents first, then strip the residual
+        shared boilerplate/quotation spans from the survivors.  Both
+        stages resume from the StageStore like every other stage (flat
+        schemas — catalog-backend friendly)."""
+        from lsh_rs_spark.operators import suffix as SX
+
+        t_start = time.time()
+        span_fp = json.dumps(
+            {"min_match": min_match, "k_gram": k_gram,
+             "snippet_radius": snippet_radius,
+             "max_group_docs": max_group_docs},
+            sort_keys=True,
+        )
+        base_fp = self.store.config_fingerprint
+        self.store.config_fingerprint = base_fp + "|span:" + span_fp
+        try:
+            return self._run_span_stages(docs, min_match, k_gram,
+                                         snippet_radius, max_group_docs,
+                                         resume, t_start)
+        finally:
+            self.store.config_fingerprint = base_fp
+
+    def _run_span_stages(self, docs, min_match, k_gram, snippet_radius,
+                         max_group_docs, resume, t_start):
+        from lsh_rs_spark.operators import suffix as SX
+
+        spans = self._stage(
+            "substring_spans",
+            lambda: SX.substring_dup_spans(
+                docs, min_match=min_match, k_gram=k_gram,
+                snippet_radius=snippet_radius, max_group_docs=max_group_docs,
+            ),
+            (),
+            resume,
+        )
+        clean = self._stage(
+            "clean_docs",
+            lambda: SX.strip_spans(docs, spans),
+            ("substring_spans",),
+            resume,
+        )
+        self.metrics["span_summary"] = {
+            "wall_seconds": round(time.time() - t_start, 3),
+            "params": {"min_match": min_match, "k_gram": k_gram,
+                       "snippet_radius": snippet_radius},
+        }
+        with open(f"{self.store.root}/_RUN_METRICS.json", "w") as f:
+            json.dump(self.metrics, f, indent=1)
+        return clean
+
 
 def main() -> None:
     p = argparse.ArgumentParser()
@@ -189,6 +264,11 @@ def main() -> None:
     p.add_argument("--workdir", required=True)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--config-json", default=None)
+    p.add_argument(
+        "--span-cleaning", action="store_true",
+        help="additionally run substring-span extraction + stripping "
+             "(Lee et al. §4) over the dedup survivors",
+    )
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("lsh-rs-spark-dedup").getOrCreate()
@@ -200,9 +280,18 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     if "doc_id" not in docs.columns:
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
-    keep = DedupPipeline(spark, cfg, args.workdir).run(docs, resume=args.resume)
+    pipe = DedupPipeline(spark, cfg, args.workdir)
+    keep = pipe.run(docs, resume=args.resume)
     n_drop = keep.where(~F.col("is_representative")).count()
-    print(json.dumps({"dropped_near_dups": n_drop}))
+    out = {"dropped_near_dups": n_drop}
+    if args.span_cleaning:
+        survivors = docs.join(
+            keep.where(F.col("is_representative")).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        clean = pipe.run_span_cleaning(survivors, resume=args.resume)
+        out["span_cleaned_docs"] = clean.count()
+    print(json.dumps(out))
     spark.stop()
 
 

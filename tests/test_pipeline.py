@@ -398,3 +398,47 @@ def test_auto_cc_equals_hashmin_on_random_graph(spark):
     assert CC.connected_components_auto.fell_back is True
     assert auto == rows(CC.connected_components(edges, 50))
     assert auto == rows(CC.connected_components_star(edges))
+
+
+def test_pipeline_span_cleaning_stage_with_resume(spark, tmp_path):
+    """run_span_cleaning: checkpointed substring_spans -> clean_docs; the
+    planted duplicated block is stripped byte-identically, untouched docs
+    pass through verbatim, and a second run resumes both stages."""
+    import random
+
+    from lsh_rs_spark.config import DedupConfig
+    from lsh_rs_spark.plans.pipeline import DedupPipeline
+
+    rng = random.Random(41)
+    alpha = "abcdefgh "
+    rnd = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    shared = rnd(120)
+    docs_py = {
+        1: rnd(100) + shared + rnd(60),
+        2: rnd(40) + shared + rnd(90),
+        3: rnd(300),
+    }
+    docs = spark.createDataFrame(list(docs_py.items()), "doc_id: long, text: string")
+    pipe = DedupPipeline(spark, DedupConfig(num_perm=16, bands=4, rows_per_band=4),
+                         str(tmp_path / "w"))
+    clean = {r.doc_id: r.clean_text
+             for r in pipe.run_span_cleaning(
+                 docs, min_match=48, k_gram=16, snippet_radius=64
+             ).collect()}
+    assert clean[3] == docs_py[3]
+    for d in (1, 2):
+        assert shared not in clean[d] and len(clean[d]) < len(docs_py[d])
+        # the non-span remainder survives: prefix before the maximal run
+        assert clean[d].startswith(docs_py[d][:20])
+    assert pipe.store.is_committed("substring_spans")
+    assert pipe.store.is_committed("clean_docs")
+
+    pipe2 = DedupPipeline(spark, DedupConfig(num_perm=16, bands=4, rows_per_band=4),
+                          str(tmp_path / "w"))
+    clean2 = {r.doc_id: r.clean_text
+              for r in pipe2.run_span_cleaning(
+                  docs, min_match=48, k_gram=16, snippet_radius=64
+              ).collect()}
+    assert clean2 == clean
+    assert pipe2.metrics["substring_spans"].get("resumed")
+    assert pipe2.metrics["clean_docs"].get("resumed")
