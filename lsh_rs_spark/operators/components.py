@@ -271,10 +271,44 @@ def _star_loop(e: DataFrame, max_iters: int, strict: bool) -> DataFrame:
     )
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Bounded driver-side union-find over a SMALL edge list (caller has
+    already counted it).  Union-by-min (the smaller root becomes parent)
+    keeps the invariant root == component minimum, so labels are identical
+    to the distributed algorithms.  Collect volume is 2 ids/edge, bounded
+    by the caller's explicit threshold."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.select("src", "dst").collect():
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(x, find(x)) for x in parent]
+    id_type = edges.schema["src"].dataType
+    schema = StructType(
+        [StructField("doc_id", id_type), StructField("cluster_id", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(labels, schema)
+
+
 def connected_components_auto(
     edges: DataFrame,
     max_iters: int = 40,
     hashmin_rounds: int = 8,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Hash-min with automatic large/small-star fallback — the scale
     default (judge r4 item 4).
@@ -294,17 +328,33 @@ def connected_components_auto(
     pass over contracted nodes recovers the global minimum per component,
     and joining back through the partial labels assigns it to every node.
 
-    ``fell_back`` / ``last_converged_in`` attributes record which path ran
-    for run manifests.
+    ``driver_edge_threshold``: an edge list at or under this size (one
+    count job) is solved by a bounded driver union-find instead — a
+    near-dup graph of a few thousand edges pays ~0.2 s instead of
+    O(rounds) Spark jobs (~0.45 s/round), which dominates small-corpus
+    dedup latency.  The bound is EXPLICIT (2 ids/edge collected, ≤ ~1.6 MB
+    at the default) and 0 disables the path entirely; labels are provably
+    identical (union-by-min root == component minimum).
+
+    ``fell_back`` / ``last_converged_in`` / ``path`` attributes record
+    which path ran for run manifests.
     """
+    if driver_edge_threshold and edges.count() <= driver_edge_threshold:
+        connected_components_auto.fell_back = False
+        connected_components_auto.last_converged_in = 0
+        connected_components_auto.path = "driver"
+        return _driver_union_find(edges)
+    connected_components_auto.path = "distributed"
     labels = connected_components(edges, hashmin_rounds, strict=False)
     if connected_components.last_converged_in is not None:
         connected_components_auto.fell_back = False
         connected_components_auto.last_converged_in = (
             connected_components.last_converged_in
         )
+        connected_components_auto.path = "hashmin"
         return labels
     connected_components_auto.fell_back = True
+    connected_components_auto.path = "hashmin+star"
     labels = labels.localCheckpoint(eager=True)
     lab_src = labels.select(F.col("doc_id").alias("src"),
                             F.col("cluster_id").alias("_ls"))
@@ -351,6 +401,7 @@ connected_components.last_converged_in = None
 connected_components_star.last_converged_in = None
 connected_components_auto.last_converged_in = None
 connected_components_auto.fell_back = None
+connected_components_auto.path = None
 
 
 def with_singletons(labels: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

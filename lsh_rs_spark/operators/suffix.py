@@ -992,6 +992,28 @@ def strip_spans(
     )
 
 
+def hot_span_anchor_count(
+    docs: DataFrame, min_match: int = 64, k_gram: int = 24,
+    max_group_docs: int = 200, id_col: str = "doc_id", text_col: str = "text",
+) -> int:
+    """Skew counter for the SPAN path: anchors dropped by either span-mode
+    cap (more than ``max_group_docs`` distinct docs, or more than
+    ``4*max_group_docs`` total positions — the bucket_guard bound
+    ``substring_dup_spans`` applies before its collect).  Run next to the
+    operator when drops must be accounted, same policy as
+    ``dropped_buckets`` on the LSH path (capped, counted, never silent).
+    Uses the light position stream only — no snippet bytes."""
+    light = winnowing_positions_kernel(
+        docs, min_match, k_gram, id_col, text_col, dedup_anchors=False
+    )
+    stats = light.groupBy("anchor").agg(
+        F.countDistinct("doc_id").alias("nd"), F.count("*").alias("nr")
+    )
+    return stats.where(
+        (F.col("nd") > max_group_docs) | (F.col("nr") > 4 * max_group_docs)
+    ).count()
+
+
 def hot_anchor_count(docs: DataFrame, min_match: int = 64, k_gram: int = 24,
                      snippet_radius: int = 128, max_group_docs: int = 200) -> int:
     """Skew counter: number of anchors dropped by the group cap.

@@ -845,3 +845,23 @@ def test_substring_spans_and_strip_byte_true_on_non_ascii(spark):
         # char-aligned here (runs are maximal over full chars)
         assert clean[d] == want, f"doc {d} strip not byte-true"
     assert clean[3] == docs[3]
+
+
+def test_hot_span_anchor_count_flags_position_spam(spark):
+    """The span-mode skew counter flags an anchor exceeding the position
+    cap (one doc repeating a block many times) that the distinct-doc cap
+    alone would pass — mirror of the dropped_buckets accounting."""
+    from lsh_rs_spark.operators.suffix import hot_span_anchor_count
+
+    block = "qwertyuiopasdfghjklzxcvbnmqwertyuiopasdfghjklzxcvbnm"  # 52 chars
+    spam = ("PAD " + block + " PAD ") * 300   # one doc, ~300 positions
+    docs = spark.createDataFrame(
+        [(1, spam), (2, "x " + block + " y"), (3, "no dup here " * 30)],
+        "doc_id: long, text: string",
+    )
+    n_hot = hot_span_anchor_count(docs, min_match=48, k_gram=16,
+                                  max_group_docs=10)
+    assert n_hot >= 1
+    assert hot_span_anchor_count(
+        docs.where("doc_id >= 2"), min_match=48, k_gram=16, max_group_docs=10
+    ) == 0

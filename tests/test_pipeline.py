@@ -355,7 +355,8 @@ def test_auto_cc_shallow_graph_stays_on_hashmin(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21)], "src: long, dst: long"
     )
     got = {(r.doc_id, r.cluster_id)
-           for r in CC.connected_components_auto(edges).collect()}
+           for r in CC.connected_components_auto(
+               edges, driver_edge_threshold=0).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
     assert CC.connected_components_auto.fell_back is False
 
@@ -372,7 +373,8 @@ def test_auto_cc_1k_chain_falls_back_to_star(spark):
     blob = [(5000, 5001), (5001, 5002), (5000, 5002)]  # shallow component
     edges = spark.createDataFrame(chain + blob, "src: long, dst: long")
     labels = {(r.doc_id, r.cluster_id)
-              for r in CC.connected_components_auto(edges, hashmin_rounds=4).collect()}
+              for r in CC.connected_components_auto(
+                  edges, hashmin_rounds=4, driver_edge_threshold=0).collect()}
     assert labels == (
         {(i, 0) for i in range(1001)} | {(i, 5000) for i in (5000, 5001, 5002)}
     )
@@ -394,7 +396,8 @@ def test_auto_cc_equals_hashmin_on_random_graph(spark):
     edges_py |= {(1000 + i, 1001 + i) for i in range(30)}
     edges = spark.createDataFrame(sorted(edges_py), "src: long, dst: long")
     rows = lambda df: sorted((r.doc_id, r.cluster_id) for r in df.collect())
-    auto = rows(CC.connected_components_auto(edges, hashmin_rounds=2))
+    auto = rows(CC.connected_components_auto(edges, hashmin_rounds=2,
+                                             driver_edge_threshold=0))
     assert CC.connected_components_auto.fell_back is True
     assert auto == rows(CC.connected_components(edges, 50))
     assert auto == rows(CC.connected_components_star(edges))
@@ -442,3 +445,32 @@ def test_pipeline_span_cleaning_stage_with_resume(spark, tmp_path):
     assert clean2 == clean
     assert pipe2.metrics["substring_spans"].get("resumed")
     assert pipe2.metrics["clean_docs"].get("resumed")
+
+
+def test_auto_cc_driver_fast_path_matches_distributed(spark):
+    """Bounded driver union-find (small edge lists) produces identical
+    labels to the distributed algorithms, records path='driver', and is
+    disabled by threshold=0."""
+    import random
+
+    from lsh_rs_spark.operators import components as CC
+
+    rng = random.Random(23)
+    edges_py = sorted({(min(a, b), max(a, b))
+                       for a, b in ((rng.randrange(400), rng.randrange(400))
+                                    for _ in range(300)) if a != b})
+    edges_py += [(1000 + i, 1001 + i) for i in range(50)]  # long chain too
+    edges = spark.createDataFrame(edges_py, "src: long, dst: long")
+    rows = lambda df: sorted((r.doc_id, r.cluster_id) for r in df.collect())
+    fast = rows(CC.connected_components_auto(edges))
+    assert CC.connected_components_auto.path == "driver"
+    assert fast == rows(CC.connected_components(edges, 60))
+    slow = rows(CC.connected_components_auto(edges, driver_edge_threshold=0))
+    assert CC.connected_components_auto.path != "driver"
+    assert fast == slow
+    # string ids flow through the driver path too (min on str is lexical
+    # on both sides — the distributed join fallback and python min agree)
+    se = spark.createDataFrame([("b", "a"), ("b", "c"), ("x", "y")],
+                               "src: string, dst: string")
+    got = rows(CC.connected_components_auto(se))
+    assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
