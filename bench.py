@@ -232,6 +232,16 @@ def main() -> None:
         extras[f"substring_snippet_bytes_{label}_phase"] = int(r["b"])
     spark.catalog.clearCache()
 
+    # 5b. sub-document span extraction (one-off timing, reported as an
+    #    extra rather than a headline query so `value`/`queries` stay
+    #    round-over-round comparable; operator is oracle-gated at sf0.01)
+    t_sp = time.time()
+    spans = SX.substring_dup_spans(docs, min_match=48, k_gram=16,
+                                   snippet_radius=64)
+    extras["substring_span_rows"] = spans.count()
+    extras["substring_spans_seconds"] = round(time.time() - t_sp, 3)
+    spark.catalog.clearCache()
+
     # 6. ANN quality gate (reference analogue: LSH_recall.ipynb harness).
     #    Two numbers, honestly separated:
     #    * twin_recall@1 — planted near-dup twins (cos ≈ 0.95) in a

@@ -45,6 +45,9 @@ STAGES = (
     "edges",
     "components",
     "keep_list",
+    # optional sub-document pass (run_span_cleaning / --span-cleaning)
+    "substring_spans",
+    "clean_docs",
 )
 
 
