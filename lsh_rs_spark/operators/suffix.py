@@ -371,9 +371,14 @@ def winnowing_positions_kernel(
         for pdf in batches:
             ids, anchors, poss = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None or len(text) < min_match:
+                if text is None:
                     continue
                 data = text.encode("utf-8", "ignore")
+                # min_match is a BYTE threshold (the kernel hashes UTF-8
+                # bytes) — compare byte length, not len(text) chars, or short
+                # non-ASCII docs whose byte length qualifies are skipped
+                if len(data) < min_match:
+                    continue
                 h = _rolling_gram_hashes(data, k_gram)
                 pos = _winnow_positions(h, w)
                 vals = h[pos].astype(np.int64)  # uint64 → signed wrap
@@ -396,7 +401,10 @@ def winnowing_positions_kernel(
                 )
 
     d = docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).where(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= min_match)
+        # octet_length: min_match is a BYTE threshold (kernels hash UTF-8
+        # bytes); F.length counts chars and would drop short non-ASCII docs
+        # whose byte length qualifies
+        F.col(text_col).isNotNull() & (F.octet_length(text_col) >= min_match)
     )
     return d.mapInPandas(fn, schema=schema)
 
@@ -433,9 +441,11 @@ def winnowing_anchors_kernel(
         for pdf in batches:
             out = {"doc_id": [], "anchor": [], "snippet": []}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None or len(text) < min_match:
+                if text is None:
                     continue
                 data = text.encode("utf-8", "ignore")
+                if len(data) < min_match:  # byte threshold, see above
+                    continue
                 h = _rolling_gram_hashes(data, k_gram)
                 pos = _winnow_positions(h, w)
                 vals = h[pos].astype(np.int64)
@@ -450,7 +460,10 @@ def winnowing_anchors_kernel(
             yield pd.DataFrame(out)
 
     d = docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).where(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= min_match)
+        # octet_length: min_match is a BYTE threshold (kernels hash UTF-8
+        # bytes); F.length counts chars and would drop short non-ASCII docs
+        # whose byte length qualifies
+        F.col(text_col).isNotNull() & (F.octet_length(text_col) >= min_match)
     )
     return d.mapInPandas(fn, schema=schema)
 

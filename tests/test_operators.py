@@ -81,6 +81,28 @@ def test_substring_dedup_finds_planted_span(spark):
     assert p.match_len >= len(shared) - 5
 
 
+def test_substring_dedup_short_nonascii_docs_use_byte_length(spark):
+    """Advisor r5 (medium): the doc prefilter must compare min_match (a BYTE
+    threshold — the kernels hash UTF-8 bytes) against octet_length, not
+    char length.  These docs are 36-42 CHARS but 88-106 BYTES; with
+    min_match=60 a char-length filter silently skips them and misses the
+    planted shared run (30 CJK chars = 90 bytes shared)."""
+    shared = "漢字文章重複検出試験用共有部分文字列" * 2  # 36 chars = 108 bytes... 30+ char run
+    assert len(shared) < 60 <= len(shared.encode("utf-8"))
+    docs = spark.createDataFrame(
+        [
+            (1, "甲" + shared + "乙"),
+            (2, "丙丁" + shared),
+            (3, "全然違う内容の短い文書でありまして共有部分は存在しない"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = SX.substring_dup_pairs(
+        docs, min_match=60, k_gram=16, snippet_radius=64
+    ).collect()
+    assert [(p.src, p.dst) for p in pairs] == [(1, 2)]
+
+
 def test_suffix_array_correctness():
     data = b"banana"
     sa = SX._suffix_array_bytes(data).tolist()
@@ -752,6 +774,29 @@ def test_train_centroids_exact_matches_numpy_integer_replica(spark):
     q = emb.where("vec_id % 30 = 0")
     res = ivf_topk_trained(q, emb, init_mod=11, iters=2, nprobe=3, k=3).collect()
     assert res and all(r.rank <= 3 and r.query_id != r.neighbor_id for r in res)
+
+
+def test_ivf_fixed_point_rejects_out_of_range_input(spark):
+    """Advisor r5: |x| beyond MAX_ABS_INPUT must fail loudly (raise_error
+    in-plan) instead of silently wrapping the int64 squared-L2 sums —
+    Spark wraps on overflow while DuckDB raises, so a silent wrap is a
+    silent Spark/oracle divergence.  In-range input is unaffected."""
+    import pytest as _pt
+
+    from lsh_rs_spark.operators.ivf import MAX_ABS_INPUT, _fixed_point
+
+    ok = spark.createDataFrame(
+        [(1, [0.5, -MAX_ABS_INPUT]), (2, [MAX_ABS_INPUT, 0.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = {r.vec_id: list(r.q) for r in _fixed_point(ok, "vec_id", "embedding").collect()}
+    assert got[1][0] == (1 << 21)  # floor(0.5 * 2^22)
+
+    bad = spark.createDataFrame(
+        [(3, [0.0, MAX_ABS_INPUT * 40])], "vec_id: long, embedding: array<double>"
+    )
+    with _pt.raises(Exception, match="out of range"):
+        _fixed_point(bad, "vec_id", "embedding").collect()
 
 
 def test_simhash_store_side_multiprobe_expands_fused_pairs(spark):
