@@ -271,12 +271,16 @@ def _star_loop(e: DataFrame, max_iters: int, strict: bool) -> DataFrame:
     )
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
+def _driver_union_find(edges: DataFrame, rows=None) -> DataFrame:
     """Bounded driver-side union-find over a SMALL edge list (caller has
-    already counted it).  Union-by-min (the smaller root becomes parent)
-    keeps the invariant root == component minimum, so labels are identical
-    to the distributed algorithms.  Collect volume is 2 ids/edge, bounded
-    by the caller's explicit threshold."""
+    already bounded it — by a manifest count or a limit-probe).  Union-by-min
+    (the smaller root becomes parent) keeps the invariant root == component
+    minimum, so labels are identical to the distributed algorithms.  Collect
+    volume is 2 ids/edge, bounded by the caller's explicit threshold.
+
+    ``rows``: pre-collected (src, dst) rows — when the caller already
+    materialized the edge list (the limit-probe path) the expensive verify
+    lineage is NOT re-executed here."""
     from pyspark.sql.types import StructField, StructType
 
     parent: dict = {}
@@ -287,7 +291,9 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in edges.select("src", "dst").collect():
+    if rows is None:
+        rows = edges.select("src", "dst").collect()
+    for r in rows:
         a, b = r[0], r[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -309,6 +315,7 @@ def connected_components_auto(
     max_iters: int = 40,
     hashmin_rounds: int = 8,
     driver_edge_threshold: int = 100_000,
+    known_edge_count: int | None = None,
 ) -> DataFrame:
     """Hash-min with automatic large/small-star fallback — the scale
     default (judge r4 item 4).
@@ -328,22 +335,44 @@ def connected_components_auto(
     pass over contracted nodes recovers the global minimum per component,
     and joining back through the partial labels assigns it to every node.
 
-    ``driver_edge_threshold``: an edge list at or under this size (one
-    count job) is solved by a bounded driver union-find instead — a
-    near-dup graph of a few thousand edges pays ~0.2 s instead of
-    O(rounds) Spark jobs (~0.45 s/round), which dominates small-corpus
-    dedup latency.  The bound is EXPLICIT (2 ids/edge collected, ≤ ~1.6 MB
-    at the default) and 0 disables the path entirely; labels are provably
-    identical (union-by-min root == component minimum).
+    ``driver_edge_threshold``: an edge list at or under this size is solved
+    by a bounded driver union-find instead — a near-dup graph of a few
+    thousand edges pays ~0.2 s instead of O(rounds) Spark jobs
+    (~0.45 s/round), which dominates small-corpus dedup latency.  The bound
+    is EXPLICIT (2 ids/edge collected, ≤ ~1.6 MB at the default) and 0
+    disables the path entirely; labels are provably identical (union-by-min
+    root == component minimum).
+
+    ``known_edge_count``: callers that already know |edges| (the pipeline's
+    StageStore manifests record row counts at write time) pass it here so
+    the path decision spawns ZERO extra jobs.  When unknown, the decision
+    uses a single bounded ``limit(threshold+1).collect()`` probe whose rows
+    are handed straight to the union-find — the expensive verify lineage
+    executes at most once either way (never the count-then-collect double
+    execution), and on the distributed path the probe's CollectLimit scans
+    partitions incrementally instead of running a full count.
 
     ``fell_back`` / ``last_converged_in`` / ``path`` attributes record
     which path ran for run manifests.
     """
-    if driver_edge_threshold and edges.count() <= driver_edge_threshold:
-        connected_components_auto.fell_back = False
-        connected_components_auto.last_converged_in = 0
-        connected_components_auto.path = "driver"
-        return _driver_union_find(edges)
+    if driver_edge_threshold:
+        if known_edge_count is not None:
+            if known_edge_count <= driver_edge_threshold:
+                connected_components_auto.fell_back = False
+                connected_components_auto.last_converged_in = 0
+                connected_components_auto.path = "driver"
+                return _driver_union_find(edges)
+        else:
+            probe = (
+                edges.select("src", "dst")
+                .limit(driver_edge_threshold + 1)
+                .collect()
+            )
+            if len(probe) <= driver_edge_threshold:
+                connected_components_auto.fell_back = False
+                connected_components_auto.last_converged_in = 0
+                connected_components_auto.path = "driver"
+                return _driver_union_find(edges, rows=probe)
     connected_components_auto.path = "distributed"
     labels = connected_components(edges, hashmin_rounds, strict=False)
     if connected_components.last_converged_in is not None:
