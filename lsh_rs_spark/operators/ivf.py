@@ -74,10 +74,19 @@ def assign_lists(
     )
 
 
-#: Fixed-point scale for the integer-exact Lloyd path.  Components are
-#: floor(x * 2^22): |x| < 512 keeps |v| < 2^31, squared diffs < 2^64/dim
-#: for dim <= 128 — far inside int64 (embeddings here are unit-scale).
+#: Fixed-point scale for the integer-exact Lloyd path: q = floor(x * 2^22).
+#: Overflow bound (corrected r6 — advisor): the integer squared-L2 sums dim
+#: terms of up to (2*m*2^22)^2 each (m = max |x|), so it needs
+#: dim * (2*m)^2 * 2^44 < 2^63, i.e. m < 2^8.5/sqrt(dim) ~= 362/sqrt(dim).
+#: |x| <= 16 is safe through dim 256 with 2x margin (unit-scale embeddings
+#: sit far inside it).  NOT the "|x| < 512" previously claimed — a dim-128
+#: sum at |x|~512 overflows int64, which Spark WRAPS silently while DuckDB
+#: raises: a silent engine divergence.  _fixed_point therefore enforces the
+#: bound in-plan with raise_error so out-of-range input fails loudly on both
+#: engines instead of diverging.
 FIXED_POINT_SCALE = 1 << 22
+#: max |x| accepted by _fixed_point (see overflow bound above)
+MAX_ABS_INPUT = 16.0
 
 
 def _fixed_point(
@@ -85,12 +94,24 @@ def _fixed_point(
 ) -> DataFrame:
     """(id, q: array<long>) — q_d = floor(x_d * SCALE).  floor of an exact
     double product is engine-independent (no round-half ambiguity), so the
-    DuckDB twin reproduces every integer bit-for-bit."""
+    DuckDB twin reproduces every integer bit-for-bit.  Components with
+    |x| > MAX_ABS_INPUT raise in-plan (see FIXED_POINT_SCALE overflow
+    bound) rather than silently wrapping the downstream int64 sums."""
+    err = F.raise_error(
+        F.lit(
+            "ivf fixed-point input out of range (|x| > %g): integer "
+            "squared-L2 would overflow int64 — rescale the embeddings"
+            % MAX_ABS_INPUT
+        )
+    )
     return emb.select(
         F.col(id_col).alias(id_alias),
         F.transform(
             F.col(vec_col),
-            lambda x: F.floor(x * F.lit(float(FIXED_POINT_SCALE))).cast("long"),
+            lambda x: F.floor(
+                F.when(F.abs(x) <= F.lit(MAX_ABS_INPUT), x).otherwise(err)
+                * F.lit(float(FIXED_POINT_SCALE))
+            ).cast("long"),
         ).alias("q"),
     )
 

@@ -16,6 +16,8 @@ broadcast so probing never shuffles the big bucket table.
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from lsh_rs_spark.config import DedupConfig
@@ -43,7 +45,13 @@ BROADCAST_PROBE_ROW_LIMIT = 1_000_000
 #: join).  FIFO-bounded.
 _COUNT_MEMO: dict[int, tuple[int, float]] = {}
 _COUNT_MEMO_MAX = 256
-_COUNT_MEMO_TTL = 300.0  # seconds
+_COUNT_MEMO_TTL = 300.0  # seconds — cached/persisted plans (data pinned)
+#: Uncached plans re-read their source on every action, so the count can
+#: drift with the underlying table; their memo entries expire much sooner
+#: (advisor r5 — a stale "small" verdict forces an F.broadcast hint that
+#: is honored regardless of the table's CURRENT size).
+_COUNT_MEMO_TTL_UNCACHED = 60.0
+_COUNT_MEMO_LOCK = _threading.Lock()  # dict mutated from user threads
 
 
 def _memo_key(df: DataFrame) -> int | None:
@@ -73,12 +81,17 @@ def resolve_probe_broadcast(
 
     key = _memo_key(queries)
     now = _time.monotonic()
-    hit = _COUNT_MEMO.get(key) if key is not None else None
-    if hit is not None and now - hit[1] <= _COUNT_MEMO_TTL:
-        n = hit[0]
-    else:
-        n = queries.count()
-        if key is not None:
+    try:
+        ttl = _COUNT_MEMO_TTL if queries.is_cached else _COUNT_MEMO_TTL_UNCACHED
+    except Exception:  # Connect: no is_cached — use the conservative TTL
+        ttl = _COUNT_MEMO_TTL_UNCACHED
+    with _COUNT_MEMO_LOCK:
+        hit = _COUNT_MEMO.get(key) if key is not None else None
+        if hit is not None and now - hit[1] <= ttl:
+            return hit[0] * keys_per_query <= limit
+    n = queries.count()  # job runs outside the lock
+    if key is not None:
+        with _COUNT_MEMO_LOCK:
             if len(_COUNT_MEMO) >= _COUNT_MEMO_MAX:
                 _COUNT_MEMO.pop(next(iter(_COUNT_MEMO)))
             _COUNT_MEMO[key] = (n, now)
