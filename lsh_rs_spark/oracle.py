@@ -795,6 +795,94 @@ WHERE c.vec_id <> p.vec_id
 """.strip()
 
 
+def q_l2_store_multiprobe_candidates(
+    n_tables: int = 2, k: int = 4, dim: int = 64, r: float = 4.0,
+    seed: int = 42, query_mod: int = 100, budget: int = 4,
+) -> str:
+    """Twin of multiprobe.l2_store_multiprobe_candidates — the mirror of
+    ``q_l2_multiprobe_candidates`` with the probing moved to the CORPUS
+    side: every stored vector contributes its base key plus the
+    top-``budget`` xi²-ranked perturbation keys (ranked over ALL 3^k − 1
+    delta vectors — same equivalence-to-the-heap argument and the same
+    three measure-zero assumptions as the query-side twin), while queries
+    probe with base keys only."""
+    from itertools import product
+
+    from lsh_rs_spark.functions.l2 import l2_f_sql, l2_hash_sql
+
+    rr = repr(float(r))
+    fs = l2_f_sql("embedding", n_tables, k, dim, r, seed)
+    cf_cols = ", ".join(
+        f"{fs[t][kk]} AS f_{t}_{kk}" for t in range(n_tables) for kk in range(k)
+    )
+    cx_cols = []
+    for t in range(n_tables):
+        for kk in range(k):
+            f = f"f_{t}_{kk}"
+            xim = f"({f} - FLOOR({f} / {rr}) * {rr})"
+            cx_cols += [
+                f"CAST(FLOOR({f} / {rr}) AS BIGINT) AS h_{t}_{kk}",
+                f"{xim} AS xim_{t}_{kk}",
+                f"({rr} - {xim}) AS xip_{t}_{kk}",
+            ]
+    combos = [c for c in product((-1, 0, 1), repeat=k) if any(c)]
+    d_cols = ", ".join(f"d{i}" for i in range(k))
+    values = ", ".join(
+        f"({i}, {', '.join(str(d) for d in c)})" for i, c in enumerate(combos)
+    )
+    per_table = []
+    for t in range(n_tables):
+        score = " + ".join(
+            f"(CASE WHEN d{kk} = -1 THEN xim_{t}_{kk} * xim_{t}_{kk} "
+            f"WHEN d{kk} = 1 THEN xip_{t}_{kk} * xip_{t}_{kk} "
+            f"ELSE 0.0 END)"
+            for kk in range(k)
+        )
+        key = ", ".join(
+            f"CAST(h_{t}_{kk} + d{kk} AS VARCHAR)" for kk in range(k)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, did, {score} AS score, "
+            f"CONCAT_WS('-', '{t}', {key}) AS band_key "
+            f"FROM cx CROSS JOIN deltas"
+        )
+    scored = " UNION ALL ".join(per_table)
+    base_keys = " UNION ALL ".join(
+        "SELECT vec_id, CONCAT_WS('-', '{t}', {key}) AS band_key FROM cx".format(
+            t=t,
+            key=", ".join(f"CAST(h_{t}_{kk} AS VARCHAR)" for kk in range(k)),
+        )
+        for t in range(n_tables)
+    )
+    query_frags = l2_hash_sql("embedding", n_tables, k, dim, r, seed)
+    query_keys = " UNION ALL ".join(
+        f"SELECT vec_id, {frag} AS band_key FROM q"
+        for frag in query_frags
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {query_mod} = 0
+),
+cf AS (SELECT vec_id, {cf_cols} FROM embeddings),
+cx AS (SELECT vec_id, {", ".join(cx_cols)} FROM cf),
+deltas(did, {d_cols}) AS (VALUES {values}),
+sc AS ({scored}),
+store_keys AS (
+  SELECT vec_id, band_key FROM (
+    SELECT vec_id, band_key, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, tbl ORDER BY score ASC, did ASC) AS rnk
+    FROM sc
+  ) WHERE rnk <= {budget}
+  UNION ALL
+  {base_keys}
+),
+qk AS ({query_keys})
+SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS doc_id
+FROM qk p JOIN store_keys c ON c.band_key = p.band_key
+WHERE c.vec_id <> p.vec_id
+""".strip()
+
+
 def q_l2_knn(n_tables: int = 2, k: int = 4, dim: int = 64, r: float = 4.0,
              seed: int = 42, query_mod: int = 100, top_k: int = 5) -> str:
     """Twin of operators/l2_lsh.l2_knn: band probe → n_collisions →
