@@ -59,6 +59,131 @@ def minhash_band_threshold(bands: int, rows_per_band: int) -> float:
     return (1.0 / bands) ** (1.0 / rows_per_band)
 
 
+def simhash_probe_recall_floor(
+    n_bits: int, bands: int, budget: int, hamming: int
+) -> float:
+    """EXACT recall floor of banded SimHash + store-side single-bit probing
+    for a pair at exactly ``hamming`` differing bits (uniform positions).
+
+    Model (matches operators/simhash_ops.simhash_multiprobe_pairs):
+    ``bands`` bands of m = n_bits/bands bits; the store emits, per band,
+    the original key plus ``budget`` single-bit-flip copies.  A band with
+    e differing bits collides with probability c(e): c(0)=1 (identical
+    band), c(1)=budget/m (the one errored bit must be among the probed
+    positions), c(e>=2)=0 (single-bit probes cannot bridge 2+ errors).
+    Pair collides iff >= 1 band collides; error positions are a uniform
+    ``hamming``-subset of the n_bits positions, so the miss probability is
+    a multivariate-hypergeometric sum computed by DP over bands:
+
+        P(miss) = [ sum over (e_1..e_b), sum e_i = h,
+                    prod_i C(m, e_i) * (1 - c(e_i)) ] / C(n, h)
+
+    Closed-form consequences (both pytest-gated):
+    * budget=0, h <= bands-1  -> 1.0  (plain-banding pigeonhole)
+    * budget=m, h <= 2*bands-1 -> 1.0 (every 1-error band is bridged, so a
+      miss needs >= 2 errors in EVERY band, i.e. h >= 2*bands)
+    Against a measured sweep row at threshold h (which mixes pair distances
+    <= h, all with higher collision probability) the model at exactly h
+    acts as a floor UNDER THE UNIFORM-POSITION ASSUMPTION; real sketches
+    have mildly correlated bit positions, so sub-1% overshoots are possible
+    (observed: model 0.9644 vs measured 0.9608 at budget 4 in
+    RECALL_SWEEP.md r5 — the endpoints are assumption-free and exact).
+    """
+    if n_bits % bands:
+        raise ValueError("n_bits must divide into equal bands")
+    m = n_bits // bands
+    if not 0 <= budget <= m:
+        raise ValueError(f"budget must be in [0, {m}] (single-bit flips per band)")
+    if hamming < 0 or hamming > n_bits:
+        raise ValueError("hamming out of range")
+    if hamming == 0:
+        return 1.0
+    surv = {0: 0.0, 1: 1.0 - budget / m}  # 1 - c(e); e>=2 -> 1.0
+    # DP over bands: g[r] = weighted count of error layouts for the bands
+    # so far using r errors with EVERY band non-colliding
+    g = [0.0] * (hamming + 1)
+    g[0] = 1.0
+    for _ in range(bands):
+        nxt = [0.0] * (hamming + 1)
+        for r, acc in enumerate(g):
+            if acc == 0.0:
+                continue
+            for e in range(0, min(m, hamming - r) + 1):
+                w = surv.get(e, 1.0)
+                if w == 0.0:
+                    continue
+                nxt[r + e] += acc * math.comb(m, e) * w
+        g = nxt
+    return 1.0 - g[hamming] / math.comb(n_bits, hamming)
+
+
+#: Measured recall-vs-budget calibration tables from RECALL_SWEEP.md
+#: (rounds 4/5 sweeps; deterministic seeded corpora).  These carry the
+#: CURVE SHAPE on a representative synthetic corpus — the suggestion for
+#: the heuristic families interpolates them, which is honest about the
+#: fact that no closed-form recall model exists for second-minimum
+#: MinHash probing or xi-ranked L2 probing (Lv et al. give bounds, not
+#: exact curves).  The SimHash family needs no table: its floor model
+#: above is exact.
+_SWEEP_CALIBRATION: dict[str, list[tuple[int, float]]] = {
+    # RECALL_SWEEP.md round 5 — L2 query-directed xi^2 probing
+    "l2": [(0, 0.2265), (2, 0.4530), (4, 0.5912), (8, 0.7514),
+           (16, 0.8840), (32, 0.9558)],
+    # RECALL_SWEEP.md round 4 — MinHash second-minimum substitution
+    # (mid-similarity corpus BELOW the banding threshold — the regime
+    # where probing matters at all)
+    "minhash": [(0, 0.067), (2, 0.083), (4, 0.093), (8, 0.127),
+                (16, 0.170)],
+}
+
+
+def suggest_probe_budget(
+    target_recall: float,
+    family: str,
+    *,
+    n_bits: int = 32,
+    bands: int = 4,
+    hamming_threshold: int | None = None,
+) -> int:
+    """Smallest probe budget predicted to reach ``target_recall``.
+
+    * ``family="simhash"`` — exact: smallest budget whose
+      ``simhash_probe_recall_floor`` at the certification distance
+      (``hamming_threshold``, default 2*bands-1) reaches the target.  The
+      floor is worst-case-at-threshold, so the measured sweep recall
+      (RECALL_SWEEP.md r5) sits above the prediction at every budget.
+    * ``family="l2"`` / ``"minhash"`` — calibrated: smallest swept budget
+      whose measured recall on the RECALL_SWEEP corpus meets the target.
+      Raises ValueError when the target exceeds the calibrated range —
+      probing saturates; re-band (more tables / more bands) instead.
+    """
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError("target_recall must be in (0, 1]")
+    if family == "simhash":
+        m = n_bits // bands
+        h = hamming_threshold if hamming_threshold is not None else 2 * bands - 1
+        for q in range(0, m + 1):
+            if simhash_probe_recall_floor(n_bits, bands, q, h) >= target_recall - 1e-12:
+                return q
+        raise ValueError(
+            f"even full single-bit probing (budget={m}) cannot certify "
+            f"recall {target_recall} at hamming {h} with {bands} bands of "
+            f"{m} bits — certification tops out at h <= {2 * bands - 1}; "
+            "re-band (more bands) or lower the threshold"
+        )
+    table = _SWEEP_CALIBRATION.get(family)
+    if table is None:
+        raise ValueError(f"unknown family {family!r} (simhash | l2 | minhash)")
+    for budget, recall in table:
+        if recall >= target_recall:
+            return budget
+    raise ValueError(
+        f"target recall {target_recall} exceeds the calibrated probing range "
+        f"for {family!r} (max measured {table[-1][1]} at budget "
+        f"{table[-1][0]}) — probing saturates; add tables/bands instead"
+    )
+
+
 def optimal_bands_rows(
     num_perm: int,
     threshold: float,

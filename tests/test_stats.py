@@ -41,3 +41,62 @@ def test_optimal_bands_rows():
     assert b * r == 128
     # chosen threshold should sit near the target
     assert abs(stats.minhash_band_threshold(b, r) - 0.7) < 0.2
+
+
+def test_simhash_probe_recall_floor_pigeonhole_endpoints():
+    """Closed-form consequences of the exact probe model: plain banding
+    certifies h <= bands-1; full single-bit probing (budget = bits/band)
+    certifies h <= 2*bands-1 and no further (RECALL_SWEEP.md r5)."""
+    for h in range(0, 4):  # bands-1 = 3
+        assert stats.simhash_probe_recall_floor(32, 4, 0, h) == 1.0
+    assert stats.simhash_probe_recall_floor(32, 4, 0, 4) < 1.0
+    for h in range(0, 8):  # 2*bands-1 = 7
+        assert stats.simhash_probe_recall_floor(32, 4, 8, h) == 1.0
+    assert stats.simhash_probe_recall_floor(32, 4, 8, 8) < 1.0
+
+
+def test_simhash_probe_recall_floor_matches_hand_inclusion_exclusion():
+    # budget=0, h=5, 4 bands of 8/32 bits: P(some band error-free) by
+    # inclusion-exclusion = (4*C(24,5) - 6*C(16,5) + 4*C(8,5)) / C(32,5)
+    want = (4 * math.comb(24, 5) - 6 * math.comb(16, 5)
+            + 4 * math.comb(8, 5)) / math.comb(32, 5)
+    got = stats.simhash_probe_recall_floor(32, 4, 0, 5)
+    assert abs(got - want) < 1e-12
+
+
+def test_simhash_probe_recall_floor_tracks_the_measured_sweep():
+    """RECALL_SWEEP.md r5 measured recall over pairs at h <= 5; the model
+    at exactly h=5 (worst distance in the set) must sit at or below every
+    measured row up to a sub-1% uniform-position tolerance (bit positions
+    in real sketches are mildly correlated), and be monotone in budget."""
+    measured = {0: 0.8071, 2: 0.9215, 4: 0.9608, 8: 1.0000}
+    prev = -1.0
+    for q, r in measured.items():
+        floor = stats.simhash_probe_recall_floor(32, 4, q, 5)
+        assert floor <= r + 0.005
+        assert floor > prev
+        prev = floor
+
+
+def test_suggest_probe_budget():
+    # simhash: certification is exact — full probing needed at h=2b-1,
+    # none at h<=b-1
+    assert stats.suggest_probe_budget(1.0, "simhash", n_bits=32, bands=4) == 8
+    assert stats.suggest_probe_budget(
+        1.0, "simhash", n_bits=32, bands=4, hamming_threshold=3) == 0
+    # a partial-probing target between the endpoints
+    q = stats.suggest_probe_budget(
+        0.9, "simhash", n_bits=32, bands=4, hamming_threshold=5)
+    assert 0 < q <= 8
+    assert stats.simhash_probe_recall_floor(32, 4, q, 5) >= 0.9
+    assert stats.simhash_probe_recall_floor(32, 4, q - 1, 5) < 0.9
+    # calibrated families: smallest swept budget meeting the target
+    assert stats.suggest_probe_budget(0.90, "l2") == 32
+    assert stats.suggest_probe_budget(0.70, "l2") == 8
+    assert stats.suggest_probe_budget(0.15, "minhash") == 16
+    import pytest
+    with pytest.raises(ValueError, match="saturates"):
+        stats.suggest_probe_budget(0.99, "l2")
+    with pytest.raises(ValueError, match="re-band"):
+        stats.suggest_probe_budget(1.0, "simhash", n_bits=32, bands=4,
+                                   hamming_threshold=9)
