@@ -31,7 +31,7 @@ from lsh_rs_spark.operators import lsh as L, verify as V, components as CC
 
 cores = {cores}
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
-    .config("spark.sql.shuffle.partitions", str(cores))
+    .config("spark.sql.shuffle.partitions", str(cores * {parts_factor}))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
@@ -91,7 +91,14 @@ def run_at(cores: int, input_path: str) -> dict:
     understates true cluster-size scaling.  BLAS threads are pinned to 1 so
     parallelism comes only from Spark task slots, as on a real executor.
     """
-    code = RUN_SNIPPET.format(repo=REPO, cores=cores, input=input_path)
+    # SCALING_PARTS_FACTOR: shuffle partitions = factor x cores.  factor 1
+    # (the historical setting) schedules every shuffle stage as a single
+    # task wave — any straggler adds directly to the stage wall; factor
+    # 3-4 gives AQE room to balance (multi-wave, coalesce-to-64MB), the
+    # standard sizing guidance for real clusters.
+    parts_factor = int(os.environ.get("SCALING_PARTS_FACTOR", "1"))
+    code = RUN_SNIPPET.format(repo=REPO, cores=cores, input=input_path,
+                              parts_factor=parts_factor)
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     env = dict(os.environ)
     for var in (

@@ -25,7 +25,7 @@ from lsh_rs_spark.operators import lsh as L, verify as V, components as CC
 
 cores = {cores}
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
-    .config("spark.sql.shuffle.partitions", str(cores))
+    .config("spark.sql.shuffle.partitions", str(cores * {parts_factor}))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
@@ -76,7 +76,7 @@ spark.stop()
 
 
 def run_at(cores: int, input_path: str) -> dict:
-    code = SNIPPET.format(repo=REPO, cores=cores, input=input_path)
+    code = SNIPPET.format(repo=REPO, cores=cores, input=input_path, parts_factor=int(os.environ.get('SCALING_PARTS_FACTOR', '1')))
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     env = dict(os.environ)
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
