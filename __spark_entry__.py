@@ -402,6 +402,18 @@ def q_substring_spans(spark, sf_dir):
     )
 
 
+def q_span_cleaned_docs(spark, sf_dir):
+    # oracle-gated END-TO-END corpus cleaning (Lee et al. 2021 §4): spans
+    # extracted by the winnowing/SA operator, then stripped byte-true by
+    # the strip_spans Column fold — DuckDB rebuilds clean_text from the
+    # identical span set via inter-span segment reassembly
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    spans = SX.substring_dup_spans(
+        docs, min_match=48, k_gram=16, snippet_radius=64
+    )
+    return SX.strip_spans(docs, spans)
+
+
 def q_multiprobe_knn_candidates(spark, sf_dir):
     # oracle-gated: step-wise multi-probe candidate expansion (M1) — DuckDB
     # enumerates the same base+flip probe keys and unions bucket hits
@@ -500,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mips_topk": q_mips_topk,
         "substring_dups": q_substring_dups,
         "substring_spans": q_substring_spans,
+        "span_cleaned_docs": q_span_cleaned_docs,
         "multiprobe_knn_candidates": q_multiprobe_knn_candidates,
         "l2_multiprobe_candidates": q_l2_multiprobe_candidates,
         "l2_store_multiprobe_candidates": q_l2_store_multiprobe_candidates,
@@ -551,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "mips_topk": O.q_mips_topk(ORACLE_MIPS, ANN_QUERY_MOD, ANN_K),
         "substring_dups": O.q_substring_dups(min_match=48, k_gram=16),
         "substring_spans": O.q_substring_spans(min_match=48, k_gram=16),
+        "span_cleaned_docs": O.q_span_cleaned_docs(min_match=48, k_gram=16),
         "multiprobe_knn_candidates": O.q_multiprobe_candidates(
             ORACLE_SIMHASH, KNN_QUERY_MOD, budget=4
         ),

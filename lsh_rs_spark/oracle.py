@@ -1275,6 +1275,50 @@ FROM islands GROUP BY doc_id, island
 """.strip()
 
 
+def q_span_cleaned_docs(min_match: int = 48, k_gram: int = 16) -> str:
+    """Ground truth for END-TO-END span cleaning: (doc_id, clean_text)
+    with every duplicated span (as defined by ``q_substring_spans``)
+    removed — the full Lee et al. 2021 §4 "remove the duplicated bytes,
+    keep the rest" output, value-exact.
+
+    Reuses the span CTE verbatim, then reconstructs the kept text per doc
+    from the inter-span segments: each span contributes the segment
+    [previous span's end, own start) via a LAG window, plus one tail
+    segment [last span's end, len); docs with no spans pass through
+    unchanged.  Spans are disjoint and sorted (the gaps-and-islands merge
+    guarantees it), so segment boundaries never overlap.  Char==byte
+    equivalence with Spark's byte-true ``strip_spans`` fold relies on
+    ASCII text — the same documented caveat as every substring gate."""
+    return f"""
+WITH spans AS ({q_substring_spans(min_match, k_gram)}),
+doc_src AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+segs AS (
+  SELECT doc_id,
+         COALESCE(LAG(span_end) OVER (
+           PARTITION BY doc_id ORDER BY span_start), 0) AS seg_start,
+         span_start AS seg_end
+  FROM spans
+  UNION ALL
+  SELECT s.doc_id, MAX(s.span_end) AS seg_start,
+         MAX(LENGTH(d.text)) AS seg_end
+  FROM spans s JOIN doc_src d USING (doc_id)
+  GROUP BY s.doc_id
+),
+cleaned AS (
+  SELECT s.doc_id,
+         STRING_AGG(SUBSTR(d.text, s.seg_start + 1, s.seg_end - s.seg_start),
+                    '' ORDER BY s.seg_start) AS clean_text
+  FROM segs s JOIN doc_src d USING (doc_id)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, clean_text FROM cleaned
+UNION ALL
+SELECT d.doc_id, d.text AS clean_text
+FROM doc_src d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM spans)
+""".strip()
+
+
 def q_mips_buckets(cfg: MIPSConfig) -> str:
     return (
         f"WITH {_mips_ctes(cfg, query_mod=1 << 62)} "
