@@ -140,3 +140,50 @@ def optimize_srp_params(
 def best_params(results: list[OptResult], n_total: int, n_sample: int) -> OptResult:
     """argmin of the reference's cost model over the grid."""
     return min(results, key=lambda x: x.cost_estimate(n_total, n_sample))
+
+
+#: Measured shuffle volume per input document for the dedup pipeline's two
+#: heavy exchanges (tools/stage_bytes.py on the 5.6M-doc synthetic web
+#: corpus, round 6): candidate-pair emission ~310 B/doc (folded band keys
+#: x bands, map-side-distinct pairs), exact-verify join-backs ~1.7 kB/doc
+#: (pruned shingle arrays crossing two joins).  Used for partition sizing;
+#: corpora with much longer documents should scale these by
+#: avg_doc_bytes/750.
+PAIRS_SHUFFLE_BYTES_PER_DOC = 310
+EDGES_SHUFFLE_BYTES_PER_DOC = 1690
+
+
+def suggest_shuffle_partitions(
+    n_docs: int,
+    cores: int,
+    target_partition_bytes: int = 64 << 20,
+    avg_doc_bytes: int = 750,
+) -> int:
+    """``spark.sql.shuffle.partitions`` for a dedup run of ``n_docs``.
+
+    Two constraints, take the max:
+
+    * **size** — the heaviest exchange (the verify join-backs) divided by
+      the ~64 MB post-shuffle partition target that keeps a task's sort
+      comfortably inside its execution-memory share.  Setting partitions =
+      cores exactly (one task wave) pushed the decoded partition beyond
+      the per-task memory share on the 5.6M-doc corpus and triggered
+      external-sort spill on BOTH heavy stages (pairs 2.0 GB, edges
+      4.7 GB spilled at 8 cores); at 4x cores the spill disappeared and
+      the 8-core leg ran 18% faster end to end (tools/stage_bytes.py
+      A/B, round 6).
+    * **waves** — at least 2 tasks per core so a straggler costs a
+      fraction of a wave, the standard sizing guidance.
+
+    AQE (adaptive coalescing) merges partitions that come out smaller
+    than the advisory size, so overshooting is cheap; undershooting
+    (spill) is not.  At 100 TB the size constraint dominates and the
+    result is ~tens of thousands of partitions — exactly how a real
+    cluster should be sized, while the waves floor keeps tiny corpora
+    from underusing a big executor fleet.
+    """
+    heavy_bytes = max(
+        PAIRS_SHUFFLE_BYTES_PER_DOC, EDGES_SHUFFLE_BYTES_PER_DOC
+    ) * n_docs * (avg_doc_bytes / 750.0)
+    by_size = -(-int(heavy_bytes) // target_partition_bytes)
+    return max(2 * cores, by_size)

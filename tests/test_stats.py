@@ -100,3 +100,27 @@ def test_suggest_probe_budget():
     with pytest.raises(ValueError, match="re-band"):
         stats.suggest_probe_budget(1.0, "simhash", n_bits=32, bands=4,
                                    hamming_threshold=9)
+
+
+def test_suggest_shuffle_partitions():
+    from lsh_rs_spark.tuning import suggest_shuffle_partitions
+
+    # waves floor: tiny corpus still gets 2 tasks per core
+    assert suggest_shuffle_partitions(1_000, 8) == 16
+    assert suggest_shuffle_partitions(1_000, 32) == 64
+    # size constraint: the 5.6M-doc scaling corpus needs well over one
+    # task wave at 8 cores (the partitions=cores setting that spilled)
+    p = suggest_shuffle_partitions(5_600_000, 8)
+    assert p > 32
+    # each partition's heavy-exchange share stays under the 64 MB target
+    from lsh_rs_spark.tuning import EDGES_SHUFFLE_BYTES_PER_DOC
+
+    assert EDGES_SHUFFLE_BYTES_PER_DOC * 5_600_000 / p <= 64 << 20
+    # monotone in corpus size and doc size
+    assert suggest_shuffle_partitions(10_000_000, 8) >= p
+    assert suggest_shuffle_partitions(
+        5_600_000, 8, avg_doc_bytes=7500) >= p
+    # 100 TB-ish sanity: partition count lands in the tens of thousands,
+    # not millions (AQE-coalescible) — scale math holds
+    assert 50_000 < suggest_shuffle_partitions(
+        10_000_000_000, 1000, avg_doc_bytes=10_000) < 5_000_000
