@@ -96,7 +96,7 @@ def run_at(cores: int, input_path: str) -> dict:
     # task wave — any straggler adds directly to the stage wall; factor
     # 3-4 gives AQE room to balance (multi-wave, coalesce-to-64MB), the
     # standard sizing guidance for real clusters.
-    parts_factor = int(os.environ.get("SCALING_PARTS_FACTOR", "1"))
+    parts_factor = int(os.environ.get("SCALING_PARTS_FACTOR", "4"))
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, input=input_path,
                               parts_factor=parts_factor)
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)

@@ -85,7 +85,7 @@ def main() -> None:
     evdir = f"/tmp/spark-events-{os.getpid()}"
     os.makedirs(evdir, exist_ok=True)
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
-    code = SNIPPET.format(repo=REPO, cores=cores, input=input_dir, evdir=evdir, parts_factor=int(os.environ.get('SCALING_PARTS_FACTOR', '1')))
+    code = SNIPPET.format(repo=REPO, cores=cores, input=input_dir, evdir=evdir, parts_factor=int(os.environ.get('SCALING_PARTS_FACTOR', '4')))
     env = dict(os.environ)
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):

@@ -76,7 +76,7 @@ spark.stop()
 
 
 def run_at(cores: int, input_path: str) -> dict:
-    code = SNIPPET.format(repo=REPO, cores=cores, input=input_path, parts_factor=int(os.environ.get('SCALING_PARTS_FACTOR', '1')))
+    code = SNIPPET.format(repo=REPO, cores=cores, input=input_path, parts_factor=int(os.environ.get('SCALING_PARTS_FACTOR', '4')))
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     env = dict(os.environ)
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
@@ -102,9 +102,13 @@ def main() -> None:
     input_dir = os.path.join("/tmp", f"scaling_corpus_{n_pages}")
     assert os.path.exists(os.path.join(input_dir, "_SUCCESS")), \
         f"generate the corpus first via tools/scaling_bench.py {n_pages}"
+    from scaling_bench import idle_gate  # same idle-host gate as the harness
+
     res = {}
     for cores in (low, high):
+        gate = idle_gate(float(os.environ.get("SCALING_GATE_LOADAVG", "2.0")))
         r = run_at(cores, input_dir)
+        r["gate"] = gate
         res[str(cores)] = r
         print(f"local[{cores}]: {r['docs_per_sec']:.1f} docs/s "
               f"({r['wall']:.1f}s) stages={r['stages']} "
