@@ -384,6 +384,17 @@ def q_mips_topk(spark, sf_dir):
     return MI.mips_topk(queries, emb, ORACLE_MIPS, ANN_K, use_udf=False)
 
 
+def q_mips_multiprobe_candidates(spark, sf_dir):
+    # M2 × P3: query-directed xi²-ranked probing on the asymmetrically
+    # TRANSFORMED query vector (Column path; relational probe enumeration
+    # mirrored statement-for-statement by the DuckDB twin)
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return MI.mips_multiprobe_candidates(
+        queries, emb, ORACLE_MIPS, budget=4, use_udf=False
+    )
+
+
 def q_substring_dups(spark, sf_dir):
     # oracle-gated: the pair SET is exactly SQL-expressible (k-gram
     # diagonal islands in DuckDB); match_len stays pytest-verified
@@ -510,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_xi_distances": q_l2_xi_distances,
         "mips_buckets": q_mips_buckets,
         "mips_topk": q_mips_topk,
+        "mips_multiprobe_candidates": q_mips_multiprobe_candidates,
         "substring_dups": q_substring_dups,
         "substring_spans": q_substring_spans,
         "span_cleaned_docs": q_span_cleaned_docs,
@@ -562,6 +574,9 @@ def oracle_sql() -> dict[str, str]:
         "l2_xi_distances": O.q_l2_xi_distances(2, 4, 64, 4.0, 42, ANN_QUERY_MOD),
         "mips_buckets": O.q_mips_buckets(ORACLE_MIPS),
         "mips_topk": O.q_mips_topk(ORACLE_MIPS, ANN_QUERY_MOD, ANN_K),
+        "mips_multiprobe_candidates": O.q_mips_multiprobe_candidates(
+            ORACLE_MIPS, ANN_QUERY_MOD, budget=4
+        ),
         "substring_dups": O.q_substring_dups(min_match=48, k_gram=16),
         "substring_spans": O.q_substring_spans(min_match=48, k_gram=16),
         "span_cleaned_docs": O.q_span_cleaned_docs(min_match=48, k_gram=16),

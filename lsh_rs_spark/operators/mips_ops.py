@@ -28,12 +28,16 @@ from lsh_rs_spark.functions.mips import (
 )
 
 
-def make_mips_bands_udf(cfg: MIPSConfig, M: float, side: str):
+def make_mips_bands_udf(cfg: MIPSConfig, M: float, side: str, probes: int = 0):
     """Production path: transform + L2-hash one Arrow batch in NumPy.
 
     side='put' → tranform_put semantics; side='query' → transform_query.
     Returns ARRAY<STRING> of 'table:h1-h2-…' band keys (same contract as
-    functions/l2.make_l2_bands_udf).
+    functions/l2.make_l2_bands_udf).  ``probes > 0`` additionally emits the
+    ``probes`` xi²-ranked perturbation keys per table (Lv et al. M2 heap,
+    `multi_probe.rs:301-378`) evaluated on the TRANSFORMED vector — the
+    M2 × P3 composition; meaningful on the query side, but accepted for
+    'put' too (store-side probing, the L2-store-dual applied to MIPS).
     """
     A, b = l2_params(cfg.n_tables, cfg.k_hash, cfg.hash_dim, cfg.r, cfg.seed)
     U, m, dim, r = cfg.U, cfg.m, cfg.dim, cfg.r
@@ -41,6 +45,11 @@ def make_mips_bands_udf(cfg: MIPSConfig, M: float, side: str):
 
     @F.pandas_udf(ArrayType(StringType()))
     def mips_bands(vecs: pd.Series) -> pd.Series:
+        from lsh_rs_spark.functions.l2 import (
+            query_directed_probes,
+            xi_distances,
+        )
+
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         if side == "put":
             scaled = X / M * U
@@ -55,14 +64,33 @@ def make_mips_bands_udf(cfg: MIPSConfig, M: float, side: str):
         T = np.concatenate([scaled, tail], axis=1)
         H = l2_hash_batch(T, A, b, r)  # (n, L, K)
         out = []
-        for row in H:
-            # same key text as l2_hash_col's concat_ws('-', t, parts)
-            out.append(
-                [
-                    "-".join([str(t)] + [str(int(x)) for x in row[t]])
-                    for t in range(n_tables)
-                ]
-            )
+        if probes == 0:
+            for row in H:
+                # same key text as l2_hash_col's concat_ws('-', t, parts)
+                out.append(
+                    [
+                        "-".join([str(t)] + [str(int(x)) for x in row[t]])
+                        for t in range(n_tables)
+                    ]
+                )
+        else:
+            xi_min, xi_plus = xi_distances(T, A, b, r)
+            for i in range(T.shape[0]):
+                keys = []
+                for t in range(n_tables):
+                    keys.append(
+                        "-".join([str(t)] + [str(int(x)) for x in H[i, t]])
+                    )
+                    for pert in query_directed_probes(
+                        xi_min[i, t], xi_plus[i, t], probes
+                    ):
+                        hh = H[i, t].copy()
+                        for k_idx, delta in pert:
+                            hh[k_idx] += delta
+                        keys.append(
+                            "-".join([str(t)] + [str(int(x)) for x in hh])
+                        )
+                out.append(list(dict.fromkeys(keys)))
         return pd.Series(out)
 
     return mips_bands
@@ -77,15 +105,24 @@ def mips_band_table(
     vec_col: str = "embedding",
     id_alias: str = "vec_id",
     use_udf: bool = True,
+    probes: int = 0,
 ) -> DataFrame:
     """(<id_alias>, band_key STRING) bucket table after the MIPS transform.
 
     use_udf=False → pure Column expressions (oracle-parity path; identical
-    keys to the NumPy kernel — same doubles, same floor)."""
+    keys to the NumPy kernel — same doubles, same floor).  ``probes``
+    (UDF path only) adds xi²-ranked perturbation keys per table; the
+    Column-path probe enumeration lives in
+    ``mips_multiprobe_candidates`` where it is built relationally."""
     if use_udf:
-        keys = make_mips_bands_udf(cfg, M, side)(vec_col)
+        keys = make_mips_bands_udf(cfg, M, side, probes)(vec_col)
         return emb.select(F.col(id_col).alias(id_alias), keys.alias("keys")).select(
             id_alias, F.explode("keys").alias("band_key")
+        )
+    if probes:
+        raise ValueError(
+            "probes>0 requires use_udf=True here; the Column-path probe "
+            "enumeration is relational — use mips_multiprobe_candidates"
         )
     tv = (
         mips_transform_put_col(vec_col, M, cfg.U, cfg.m, cfg.dim)
@@ -163,6 +200,182 @@ def mips_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def _mips_query_probe_table_col(
+    queries: DataFrame,
+    cfg: MIPSConfig,
+    budget: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Column-path (oracle-parity) probe-key table for MIPS multiprobe:
+    per query, the base key of every table plus the ``budget``
+    perturbation keys with smallest total xi², enumerated RELATIONALLY —
+    all 3^k−1 delta vectors scored and window-ranked per (query, table),
+    mirroring the DuckDB twin statement for statement (same sequential
+    folds → same doubles → same ranks; ties broken by delta ordinal in
+    both engines)."""
+    from itertools import product
+
+    A, b = l2_params(cfg.n_tables, cfg.k_hash, cfg.hash_dim, cfg.r, cfg.seed)
+    k, r = cfg.k_hash, cfg.r
+    tv = mips_transform_query_col(vec_col, cfg.m, cfg.dim)
+    # two shuffle barriers: materialize the transformed vector, then the
+    # raw projections f — everything downstream is scalar arithmetic on f,
+    # so Catalyst's projection collapse can't re-expand the O(dim) folds
+    # (same trap documented on mips_band_table's column path)
+    base = queries.select(
+        F.col(id_col).alias("query_id"), tv.alias("_tv")
+    ).repartition(F.col("query_id"))
+    proj_cols = []
+    for t in range(cfg.n_tables):
+        for kk in range(k):
+            coeffs = F.lit([float(c) for c in A[t, kk]])
+            terms = F.zip_with(coeffs, F.col("_tv"), lambda ca, x: ca * x.cast("double"))
+            f = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x) + F.lit(
+                float(b[t, kk])
+            )
+            proj_cols.append(f.alias(f"f_{t}_{kk}"))
+    qf = base.select("query_id", *proj_cols).repartition(F.col("query_id"))
+    derived = []
+    for t in range(cfg.n_tables):
+        for kk in range(k):
+            f = F.col(f"f_{t}_{kk}")
+            h = F.floor(f / F.lit(r)).cast("long")
+            xim = f - F.floor(f / F.lit(r)) * F.lit(r)
+            derived += [
+                h.alias(f"h_{t}_{kk}"),
+                xim.alias(f"xim_{t}_{kk}"),
+                (F.lit(r) - xim).alias(f"xip_{t}_{kk}"),
+            ]
+    qx = qf.select("query_id", *derived)
+
+    frames = []
+    for t in range(cfg.n_tables):
+        key = F.concat_ws(
+            "-",
+            F.lit(str(t)),
+            *[F.col(f"h_{t}_{kk}").cast("string") for kk in range(k)],
+        )
+        frames.append(qx.select("query_id", key.alias("band_key")))
+    base_keys = frames[0]
+    for fr in frames[1:]:
+        base_keys = base_keys.unionByName(fr)
+
+    combos = [c for c in product((-1, 0, 1), repeat=k) if any(c)]
+    deltas = queries.sparkSession.createDataFrame(
+        [(i, *c) for i, c in enumerate(combos)],
+        ["did"] + [f"d{kk}" for kk in range(k)],
+    )
+    pert_frames = []
+    for t in range(cfg.n_tables):
+        score = F.lit(0.0)
+        for kk in range(k):
+            score = score + (
+                F.when(
+                    F.col(f"d{kk}") == -1,
+                    F.col(f"xim_{t}_{kk}") * F.col(f"xim_{t}_{kk}"),
+                )
+                .when(
+                    F.col(f"d{kk}") == 1,
+                    F.col(f"xip_{t}_{kk}") * F.col(f"xip_{t}_{kk}"),
+                )
+                .otherwise(F.lit(0.0))
+            )
+        key = F.concat_ws(
+            "-",
+            F.lit(str(t)),
+            *[
+                (F.col(f"h_{t}_{kk}") + F.col(f"d{kk}")).cast("string")
+                for kk in range(k)
+            ],
+        )
+        pert_frames.append(
+            qx.crossJoin(F.broadcast(deltas)).select(
+                "query_id",
+                F.lit(t).alias("tbl"),
+                F.col("did"),
+                score.alias("score"),
+                key.alias("band_key"),
+            )
+        )
+    sc = pert_frames[0]
+    for fr in pert_frames[1:]:
+        sc = sc.unionByName(fr)
+    w = Window.partitionBy("query_id", "tbl").orderBy(
+        F.col("score").asc(), F.col("did").asc()
+    )
+    topb = (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= budget)
+        .select("query_id", "band_key")
+    )
+    return base_keys.unionByName(topb)
+
+
+def mips_multiprobe_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cfg: MIPSConfig,
+    budget: int,
+    M: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_udf: bool = True,
+    broadcast_probes: bool | None = None,
+) -> DataFrame:
+    """Query-directed multiprobe for the MIPS family — the M2 × P3
+    composition that completes probing symmetry across all four LSH
+    families (SimHash bit flips, MinHash second-min substitution, L2
+    xi²-ranked perturbations, and now MIPS via the SAME xi² machinery
+    applied to the asymmetrically TRANSFORMED query vector).
+
+    Reference seams: `hash.rs:194-208` (transform_query) composed with
+    `multi_probe.rs:301-378` (query-directed probe enumeration) — the
+    reference exposes both but never wires them together; this operator
+    (and its DuckDB twin) does.
+
+    The corpus stores one key per table (tranform_put path, identical to
+    ``mips_topk``'s put side); the query emits its base keys plus the
+    ``budget`` smallest-xi² perturbation keys per table, where xi is
+    evaluated on the transformed query (unit head + 0.5 tail).  Returns
+    DISTINCT (query_id, doc_id) bucket hits — feed to an exact
+    inner-product re-rank exactly like ``mips_topk`` does.
+
+    use_udf=True → NumPy heap enumeration (production); False → the
+    relational Column-path enumeration twin-mirrored by
+    ``oracle.q_mips_multiprobe_candidates`` (driver-gated).
+    """
+    if M is None:
+        M = mips_fit(corpus, vec_col, cfg.dim)
+    put = mips_band_table(
+        corpus, cfg, M, "put", id_col, vec_col, "doc_id", use_udf
+    )
+    if use_udf:
+        probe = mips_band_table(
+            queries, cfg, M, "query", id_col, vec_col, "query_id", True,
+            probes=budget,
+        )
+        from lsh_rs_spark.functions.l2 import compact_band_keys
+
+        put, probe = compact_band_keys(put), compact_band_keys(probe)
+    else:
+        probe = _mips_query_probe_table_col(
+            queries, cfg, budget, id_col, vec_col
+        )
+    from lsh_rs_spark.operators.topk import resolve_probe_broadcast
+
+    if resolve_probe_broadcast(
+        queries, cfg.n_tables * (1 + budget), broadcast_probes
+    ):
+        probe = F.broadcast(probe)
+    return (
+        probe.join(put, "band_key")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+        .distinct()
     )
 
 

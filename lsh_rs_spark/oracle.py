@@ -1326,6 +1326,85 @@ def q_mips_buckets(cfg: MIPSConfig) -> str:
     )
 
 
+def q_mips_multiprobe_candidates(
+    cfg: MIPSConfig, query_mod: int = 100, budget: int = 4
+) -> str:
+    """Twin of mips_ops.mips_multiprobe_candidates — query-directed (M2)
+    probing applied to the MIPS (P3) family: the xi²-ranked perturbation
+    enumeration of ``q_l2_multiprobe_candidates`` evaluated on the
+    asymmetrically TRANSFORMED query vector (``query_t.tv``: unit head +
+    0.5 tail) against the transform_put corpus band table.
+
+    Enumeration equivalence and measure-zero FP assumptions are identical
+    to ``q_l2_multiprobe_candidates`` (all 3^k−1 deltas ranked by the same
+    xi² sum = the heap's first-``budget`` prefix; sequential LIST_SUM folds
+    match Spark's Column folds to the last ulp away from floor
+    boundaries); the transform parity (M fit, scaled head, norm-power
+    tail) is the same pair already gated by ``mips_buckets``/``mips_topk``.
+    """
+    from itertools import product
+
+    from lsh_rs_spark.functions.l2 import l2_f_sql
+
+    n_tables, k = cfg.n_tables, cfg.k_hash
+    rr = repr(float(cfg.r))
+    fs = l2_f_sql("tv", n_tables, k, cfg.hash_dim, cfg.r, cfg.seed)
+    qf_cols = ", ".join(
+        f"{fs[t][kk]} AS f_{t}_{kk}" for t in range(n_tables) for kk in range(k)
+    )
+    qx_cols = []
+    for t in range(n_tables):
+        for kk in range(k):
+            f = f"f_{t}_{kk}"
+            xim = f"({f} - FLOOR({f} / {rr}) * {rr})"
+            qx_cols += [
+                f"CAST(FLOOR({f} / {rr}) AS BIGINT) AS h_{t}_{kk}",
+                f"{xim} AS xim_{t}_{kk}",
+                f"({rr} - {xim}) AS xip_{t}_{kk}",
+            ]
+    combos = [c for c in product((-1, 0, 1), repeat=k) if any(c)]
+    d_cols = ", ".join(f"d{i}" for i in range(k))
+    values = ", ".join(
+        f"({i}, {', '.join(str(d) for d in c)})" for i, c in enumerate(combos)
+    )
+    per_table = []
+    for t in range(n_tables):
+        score = " + ".join(
+            f"(CASE WHEN d{kk} = -1 THEN xim_{t}_{kk} * xim_{t}_{kk} "
+            f"WHEN d{kk} = 1 THEN xip_{t}_{kk} * xip_{t}_{kk} "
+            f"ELSE 0.0 END)"
+            for kk in range(k)
+        )
+        key = ", ".join(
+            f"CAST(h_{t}_{kk} + d{kk} AS VARCHAR)" for kk in range(k)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, did, {score} AS score, "
+            f"CONCAT_WS('-', '{t}', {key}) AS band_key "
+            f"FROM qx CROSS JOIN deltas"
+        )
+    scored = " UNION ALL ".join(per_table)
+    return f"""
+WITH {_mips_ctes(cfg, query_mod)},
+qf AS (SELECT vec_id, {qf_cols} FROM query_t),
+qx AS (SELECT vec_id, {", ".join(qx_cols)} FROM qf),
+deltas(did, {d_cols}) AS (VALUES {values}),
+sc AS ({scored}),
+probe_keys AS (
+  SELECT vec_id, band_key FROM (
+    SELECT vec_id, band_key, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, tbl ORDER BY score ASC, did ASC) AS rnk
+    FROM sc
+  ) WHERE rnk <= {budget}
+  UNION ALL
+  SELECT vec_id, band_key FROM query_bands
+)
+SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS doc_id
+FROM probe_keys p JOIN put_bands c ON c.band_key = p.band_key
+WHERE c.vec_id <> p.vec_id
+""".strip()
+
+
 def q_mips_topk(cfg: MIPSConfig, query_mod: int = 100, k: int = 5) -> str:
     from lsh_rs_spark.functions.mips import inner_product_sql
 

@@ -21,6 +21,7 @@ from lsh_rs_spark.functions.mips import (
 from lsh_rs_spark.operators.mips_ops import (
     mips_band_table,
     mips_brute_force_topk,
+    mips_multiprobe_candidates,
     mips_topk,
 )
 
@@ -102,6 +103,31 @@ def test_mips_topk_recall_vs_brute_force(spark, emb):
     assert total > 0
     recall = hit / total
     assert recall >= 0.8, f"MIPS recall {recall:.2f} < 0.8"
+
+
+def test_mips_multiprobe_paths_agree_and_monotone(spark, emb):
+    """M2 × P3: the NumPy heap enumeration (production) and the relational
+    Column-path enumeration (oracle twin shape) yield the SAME candidate
+    set, and the set grows monotonically with the probe budget from the
+    budget-0 base (= plain mips bucket candidates)."""
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+
+    def pairs(df):
+        return {(r["query_id"], r["doc_id"]) for r in df.collect()}
+
+    prev = None
+    for budget in (0, 2, 4):
+        a = pairs(
+            mips_multiprobe_candidates(queries, emb, CFG, budget, use_udf=True)
+        )
+        b = pairs(
+            mips_multiprobe_candidates(queries, emb, CFG, budget, use_udf=False)
+        )
+        assert a == b, f"path divergence at budget={budget}"
+        if prev is not None:
+            assert prev <= a, f"budget {budget} lost base candidates"
+        prev = a
+    assert len(prev) > 0
 
 
 def test_mips_topk_orders_by_inner_product(spark, emb):
