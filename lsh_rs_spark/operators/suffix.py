@@ -784,8 +784,33 @@ def _find_spans_in_group(
     ids_arr = np.asarray(ids, dtype=np.int64)
     new_run = np.diff(qual, prepend=qual[0] - 2) > 1
     bounds = np.nonzero(new_run)[0].tolist() + [qual.shape[0]]
-    out = []
-    for bi in range(len(bounds) - 1):
+    # accumulate per-interval NumPy arrays and build ONE frame at the end:
+    # boilerplate-heavy chunks produce ~10⁴ tiny intervals (~2 rows each),
+    # and a pd.DataFrame per interval made frame construction ~85% of the
+    # whole span kernel (measured: 1.58M constructions = 445 of 710 s at
+    # 8k pages; the SA itself is <5%)
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    out_e: list[np.ndarray] = []
+    # 2-member intervals (the overwhelming majority on web text) are fully
+    # vectorizable: one qualifying SA row, best cross-doc LCP = that row's
+    # LCP for both members iff the two docs differ — same output the
+    # two-sweep general path produces for r=2
+    barr = np.asarray(bounds, dtype=np.int64)
+    sizes = np.diff(barr)
+    single = np.nonzero(sizes == 1)[0]
+    if single.shape[0]:
+        r1 = qual[barr[single]]
+        p0, p1 = sa[r1], sa[r1 + 1]
+        d0, d1 = ids_arr[owner_of[p0]], ids_arr[owner_of[p1]]
+        ok = d0 != d1
+        if ok.any():
+            ln = lcp[r1[ok]]  # >= min_match by construction (r1 ∈ qual)
+            s0, s1 = doc_off_of[p0[ok]], doc_off_of[p1[ok]]
+            out_d += [d0[ok], d1[ok]]
+            out_s += [s0, s1]
+            out_e += [s0 + ln, s1 + ln]
+    for bi in np.nonzero(sizes > 1)[0]:
         rows = qual[bounds[bi] : bounds[bi + 1]]
         member_rows = np.arange(rows[0], rows[-1] + 2)
         p = sa[member_rows]
@@ -798,16 +823,18 @@ def _find_spans_in_group(
         emit = np.nonzero(best >= min_match)[0]
         if emit.shape[0]:
             starts = doc_off_of[p[emit]]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": d[emit],
-                        "span_start": starts,
-                        "span_end": starts + best[emit],
-                    }
-                )
-            )
-    return pd.concat(out, ignore_index=True) if out else empty
+            out_d.append(d[emit])
+            out_s.append(starts)
+            out_e.append(starts + best[emit])
+    if not out_d:
+        return empty
+    return pd.DataFrame(
+        {
+            "doc_id": np.concatenate(out_d),
+            "span_start": np.concatenate(out_s),
+            "span_end": np.concatenate(out_e),
+        }
+    )
 
 
 def merge_spans(spans: DataFrame) -> DataFrame:
