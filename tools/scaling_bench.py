@@ -108,6 +108,12 @@ def run_at(cores: int, input_path: str) -> dict:
         "NUMEXPR_NUM_THREADS",
     ):
         env[var] = "1"
+    # executors re-exec python fresh: the repo must be on PYTHONPATH (driver
+    # sys.path does not propagate) — otherwise the harness only works when
+    # launched from the repo root
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, "-c", code],

@@ -90,6 +90,12 @@ def main() -> None:
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         env[var] = "1"
+    # executors re-exec python fresh: the repo must be on PYTHONPATH (driver
+    # sys.path does not propagate) — otherwise the harness only works when
+    # launched from the repo root
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
         capture_output=True, text=True, timeout=3600, check=True, env=env,

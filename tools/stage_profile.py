@@ -82,10 +82,22 @@ def run_at(cores: int, input_path: str) -> dict:
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         env[var] = "1"
-    out = subprocess.run(
+    # executors re-exec python fresh: the repo must be on PYTHONPATH (driver
+    # sys.path does not propagate) — otherwise the harness only works when
+    # launched from the repo root
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    proc = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=3600, check=True, env=env,
-    ).stdout
+        capture_output=True, text=True, timeout=3600, env=env,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"leg at {cores} cores failed (rc={proc.returncode}); stderr "
+            f"tail:\n{proc.stderr[-3000:]}"
+        )
+    out = proc.stdout
     import shutil
 
     shutil.rmtree("/dev/shm/spark-tmp", ignore_errors=True)
