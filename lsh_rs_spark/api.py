@@ -215,15 +215,18 @@ class MipsLSH:
         return self
 
     def predict(self, queries: DataFrame, top_k: int = 5,
-                with_vectors: bool = False) -> DataFrame:
+                with_vectors: bool = False, probes: int = 0) -> DataFrame:
         """(query_id, neighbor_id, distance, rank[, vector]); distance =
-        -dot so that smaller = better, consistent with the other families."""
+        -dot so that smaller = better, consistent with the other families.
+        probes>0 enables query-directed multi-probe on the transformed
+        query (M2 × P3) — the M3 dispatch knob, same as L2LSH.predict."""
         from lsh_rs_spark.operators.mips_ops import mips_topk
 
         if self.M is None:
             raise RuntimeError("call fit() first")
         res = mips_topk(
-            queries, self._corpus, self.cfg, top_k, self.M, self._id, self._vec
+            queries, self._corpus, self.cfg, top_k, self.M, self._id,
+            self._vec, probes=probes,
         )
         res = res.select(
             "query_id", "neighbor_id", (-F.col("dot")).alias("distance"), "rank"

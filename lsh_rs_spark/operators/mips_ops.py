@@ -152,6 +152,7 @@ def mips_topk(
     vec_col: str = "embedding",
     use_udf: bool = True,
     broadcast_probes: bool | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """Full MIPS predict: fit → asymmetric bucket probe → exact dot re-rank.
 
@@ -160,11 +161,19 @@ def mips_topk(
     exploded probe keys stay bounded, else AQE plans the join — so the
     corpus bucket table never shuffles in the common small-query case and
     a corpus-scale query side cannot OOM executors.
+
+    ``probes > 0`` (UDF path) enables query-directed multi-probe on the
+    transformed query (M2 × P3 — same enumeration as
+    ``mips_multiprobe_candidates``): the candidate pool grows
+    monotonically, so re-ranked top-k can only move toward brute force.
     """
     if M is None:
         M = mips_fit(corpus, vec_col, cfg.dim)
     put = mips_band_table(corpus, cfg, M, "put", id_col, vec_col, "neighbor_id", use_udf)
-    probe = mips_band_table(queries, cfg, M, "query", id_col, vec_col, "query_id", use_udf)
+    probe = mips_band_table(
+        queries, cfg, M, "query", id_col, vec_col, "query_id", use_udf,
+        probes=probes,
+    )
     if use_udf:
         # production path: hash the 'table:h1-…' strings to 8-byte BIGINT
         # keys in the producing stage — the probe join never moves strings
@@ -173,7 +182,9 @@ def mips_topk(
         put, probe = compact_band_keys(put), compact_band_keys(probe)
     from lsh_rs_spark.operators.topk import resolve_probe_broadcast
 
-    if resolve_probe_broadcast(queries, cfg.n_tables, broadcast_probes):
+    if resolve_probe_broadcast(
+        queries, cfg.n_tables * (1 + probes), broadcast_probes
+    ):
         probe = F.broadcast(probe)
     cand = (
         probe

@@ -191,6 +191,13 @@ def test_mips_api_finds_max_inner_product(spark):
     top = [r for r in res if r.rank == 1]
     assert top and top[0].neighbor_id == 7
     assert top[0].distance < 0  # distance = -dot, planted dot > 0
+    # M3 dispatch: probed predict still finds the planted max-dot vector
+    # and returns at least as many candidates-backed rows (candidate pool
+    # grows monotonically with the probe budget)
+    res_p = model.predict(queries, top_k=3, probes=4).collect()
+    top_p = [r for r in res_p if r.rank == 1]
+    assert top_p and top_p[0].neighbor_id == 7
+    assert len(res_p) >= len(res)
 
 
 def test_simhash_api_dedup_contract(spark):
