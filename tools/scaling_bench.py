@@ -37,14 +37,19 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
     .config("spark.sql.files.maxPartitionBytes", "4m")
     .config("spark.sql.files.openCostInBytes", "512k")
-    .config("spark.driver.memory", "12g")
+    .config("spark.driver.memory", {heap!r})
     # shuffle/spill files on tmpfs: on this single-VM sandbox every
     # parallelism level shares ONE virtio disk, so spill I/O is a resource
     # that does not grow 2->8 cores — an artifact a real cluster does not
     # have (each added node brings its own local disks).  tmpfs restores the
     # per-node-disk assumption (measured: 8-core leg 366.9s -> 292.7s at
-    # 5.6M docs).  A 48g heap was also tried and was ~15% SLOWER than 12g +
-    # tmpfs spill (G1 on a huge heap loses to serialized spill-to-RAM).
+    # 5.6M docs).  Heap: default CONSTANT 12g across legs (conservative —
+    # the high leg then runs with 1/factor the per-core memory a real
+    # factor-x-bigger cluster would bring; the round-3 '48g slower' note
+    # predates the partition spill fix).  SCALING_HEAP overrides for the
+    # cluster-faithful per-core-parity model — round-6 A/B
+    # (tools/heap_parity.json): edges stage 46-61s at 12g vs 26-44s at
+    # 48g, parity-pair efficiency 0.989 vs the constant-heap 0.804.
     .config("spark.local.dir", "/dev/shm/spark-tmp")
     .config("spark.ui.enabled", "false")
     .getOrCreate())
@@ -98,7 +103,8 @@ def run_at(cores: int, input_path: str) -> dict:
     # standard sizing guidance for real clusters.
     parts_factor = int(os.environ.get("SCALING_PARTS_FACTOR", "4"))
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, input=input_path,
-                              parts_factor=parts_factor)
+                              parts_factor=parts_factor,
+                              heap=os.environ.get("SCALING_HEAP", "12g"))
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     env = dict(os.environ)
     for var in (

@@ -32,7 +32,7 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
     .config("spark.sql.files.maxPartitionBytes", "4m")
     .config("spark.sql.files.openCostInBytes", "512k")
     .config("spark.local.dir", "/dev/shm/spark-tmp")
-    .config("spark.driver.memory", "12g")
+    .config("spark.driver.memory", {heap!r})
     .config("spark.ui.enabled", "false")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
@@ -76,7 +76,14 @@ spark.stop()
 
 
 def run_at(cores: int, input_path: str) -> dict:
-    code = SNIPPET.format(repo=REPO, cores=cores, input=input_path, parts_factor=int(os.environ.get('SCALING_PARTS_FACTOR', '4')))
+    # SCALING_HEAP: total driver/executor heap for the leg.  Default holds
+    # it CONSTANT across legs (conservative: the high-parallelism leg then
+    # runs with 1/factor the per-core memory a real factor-x-bigger
+    # cluster would have); set e.g. 48g on the 8-core leg for per-core
+    # memory parity with a 12g 2-core leg — the cluster-faithful model.
+    code = SNIPPET.format(repo=REPO, cores=cores, input=input_path,
+                          parts_factor=int(os.environ.get('SCALING_PARTS_FACTOR', '4')),
+                          heap=os.environ.get('SCALING_HEAP', '12g'))
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     env = dict(os.environ)
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
