@@ -166,6 +166,58 @@ def main() -> None:
               f" store-side {results['l2_store_probes'][budget]}",
               file=sys.stderr)
 
+    # MIPS: same manifold with mild norm variation (uniform 0.7-1.4) so the
+    # asymmetric transform is actually exercised (on unit norms MIPS
+    # degenerates to cosine); ground truth = exact max inner product on the
+    # SCALED vectors, candidates re-ranked by exact dot.  Same 2-table k=4
+    # r=1.2 hash shape as the L2 sweep so the probe budget is the live axis.
+    from lsh_rs_spark.config import MIPSConfig
+    from lsh_rs_spark.operators.mips_ops import mips_multiprobe_candidates
+
+    rngm = np.random.default_rng(SEED + 1)
+    scales = rngm.uniform(0.7, 1.4, size=X.shape[0])
+    XM = X * scales[:, None]
+    sims_m = XM[q_idx] @ XM.T
+    truth_mips: dict[int, set] = {}
+    for row, q in zip(sims_m, q_idx):
+        row[q] = -np.inf
+        truth_mips[int(q)] = set(np.argpartition(-row, K)[:K].tolist())
+    emb_m = spark.createDataFrame(
+        [(i, XM[i].tolist()) for i in range(XM.shape[0])],
+        "vec_id: long, embedding: array<double>",
+    ).cache()
+    emb_m.count()
+    queries_m = emb_m.where(F.col("vec_id") % QUERY_MOD == 0).cache()
+    queries_m.count()
+    mips_cfg = MIPSConfig(dim=DIM, n_tables=2, k_hash=4, r=1.2, seed=42)
+    results["mips_probes"] = {}
+    for budget in (0, 2, 4, 8):
+        cand = mips_multiprobe_candidates(
+            queries_m, emb_m, mips_cfg, budget, use_udf=True
+        )
+        scored = (
+            cand
+            .join(emb_m.select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("qv")), "query_id")
+            .join(emb_m.select(F.col("vec_id").alias("doc_id"),
+                               F.col("embedding").alias("cv")), "doc_id")
+            .withColumn("dot", dot("qv", "cv"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dot").desc(), F.col("doc_id").asc())
+        rows = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= K)
+            .select("query_id", "doc_id").collect()
+        )
+        top_m: dict[int, list] = {}
+        for r in rows:
+            top_m.setdefault(r.query_id, []).append(r.doc_id)
+        results["mips_probes"][budget] = round(
+            recall_of(top_m, truth_mips, K), 4)
+        print(f"mips budget={budget}: {results['mips_probes'][budget]}",
+              file=sys.stderr)
+
     # manifold stats for the writeup
     same = [float(X[i] @ X[i + 1]) for i in range(0, 2000, CLUSTER_SIZE)]
     summary = {
