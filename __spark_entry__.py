@@ -395,6 +395,17 @@ def q_mips_multiprobe_candidates(spark, sf_dir):
     )
 
 
+def q_mips_store_multiprobe_candidates(spark, sf_dir):
+    # store-side dual: the corpus emits xi²-ranked perturbation keys of
+    # the PUT-transformed vectors at index-build time; queries probe base
+    # keys only (completes store-side probing symmetry across families)
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return MI.mips_store_multiprobe_candidates(
+        queries, emb, ORACLE_MIPS, budget=4, use_udf=False
+    )
+
+
 def q_substring_dups(spark, sf_dir):
     # oracle-gated: the pair SET is exactly SQL-expressible (k-gram
     # diagonal islands in DuckDB); match_len stays pytest-verified
@@ -522,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mips_buckets": q_mips_buckets,
         "mips_topk": q_mips_topk,
         "mips_multiprobe_candidates": q_mips_multiprobe_candidates,
+        "mips_store_multiprobe_candidates": q_mips_store_multiprobe_candidates,
         "substring_dups": q_substring_dups,
         "substring_spans": q_substring_spans,
         "span_cleaned_docs": q_span_cleaned_docs,
@@ -575,6 +587,9 @@ def oracle_sql() -> dict[str, str]:
         "mips_buckets": O.q_mips_buckets(ORACLE_MIPS),
         "mips_topk": O.q_mips_topk(ORACLE_MIPS, ANN_QUERY_MOD, ANN_K),
         "mips_multiprobe_candidates": O.q_mips_multiprobe_candidates(
+            ORACLE_MIPS, ANN_QUERY_MOD, budget=4
+        ),
+        "mips_store_multiprobe_candidates": O.q_mips_store_multiprobe_candidates(
             ORACLE_MIPS, ANN_QUERY_MOD, budget=4
         ),
         "substring_dups": O.q_substring_dups(min_match=48, k_gram=16),

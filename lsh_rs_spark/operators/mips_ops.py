@@ -214,32 +214,41 @@ def mips_topk(
     )
 
 
-def _mips_query_probe_table_col(
-    queries: DataFrame,
+def _mips_probe_table_col(
+    df: DataFrame,
     cfg: MIPSConfig,
     budget: int,
     id_col: str,
     vec_col: str,
+    side: str = "query",
+    M: float | None = None,
+    id_alias: str = "query_id",
 ) -> DataFrame:
     """Column-path (oracle-parity) probe-key table for MIPS multiprobe:
-    per query, the base key of every table plus the ``budget``
+    per vector, the base key of every table plus the ``budget``
     perturbation keys with smallest total xi², enumerated RELATIONALLY —
-    all 3^k−1 delta vectors scored and window-ranked per (query, table),
+    all 3^k−1 delta vectors scored and window-ranked per (vector, table),
     mirroring the DuckDB twin statement for statement (same sequential
     folds → same doubles → same ranks; ties broken by delta ordinal in
-    both engines)."""
+    both engines).  side='query' perturbs the query transform (unit head
+    + 0.5 tail); side='put' perturbs the store transform (needs ``M``) —
+    the store-side dual."""
     from itertools import product
 
     A, b = l2_params(cfg.n_tables, cfg.k_hash, cfg.hash_dim, cfg.r, cfg.seed)
     k, r = cfg.k_hash, cfg.r
-    tv = mips_transform_query_col(vec_col, cfg.m, cfg.dim)
+    tv = (
+        mips_transform_query_col(vec_col, cfg.m, cfg.dim)
+        if side == "query"
+        else mips_transform_put_col(vec_col, M, cfg.U, cfg.m, cfg.dim)
+    )
     # two shuffle barriers: materialize the transformed vector, then the
     # raw projections f — everything downstream is scalar arithmetic on f,
     # so Catalyst's projection collapse can't re-expand the O(dim) folds
     # (same trap documented on mips_band_table's column path)
-    base = queries.select(
-        F.col(id_col).alias("query_id"), tv.alias("_tv")
-    ).repartition(F.col("query_id"))
+    base = df.select(
+        F.col(id_col).alias(id_alias), tv.alias("_tv")
+    ).repartition(F.col(id_alias))
     proj_cols = []
     for t in range(cfg.n_tables):
         for kk in range(k):
@@ -249,7 +258,7 @@ def _mips_query_probe_table_col(
                 float(b[t, kk])
             )
             proj_cols.append(f.alias(f"f_{t}_{kk}"))
-    qf = base.select("query_id", *proj_cols).repartition(F.col("query_id"))
+    qf = base.select(id_alias, *proj_cols).repartition(F.col(id_alias))
     derived = []
     for t in range(cfg.n_tables):
         for kk in range(k):
@@ -261,7 +270,7 @@ def _mips_query_probe_table_col(
                 xim.alias(f"xim_{t}_{kk}"),
                 (F.lit(r) - xim).alias(f"xip_{t}_{kk}"),
             ]
-    qx = qf.select("query_id", *derived)
+    qx = qf.select(id_alias, *derived)
 
     frames = []
     for t in range(cfg.n_tables):
@@ -270,13 +279,13 @@ def _mips_query_probe_table_col(
             F.lit(str(t)),
             *[F.col(f"h_{t}_{kk}").cast("string") for kk in range(k)],
         )
-        frames.append(qx.select("query_id", key.alias("band_key")))
+        frames.append(qx.select(id_alias, key.alias("band_key")))
     base_keys = frames[0]
     for fr in frames[1:]:
         base_keys = base_keys.unionByName(fr)
 
     combos = [c for c in product((-1, 0, 1), repeat=k) if any(c)]
-    deltas = queries.sparkSession.createDataFrame(
+    deltas = df.sparkSession.createDataFrame(
         [(i, *c) for i, c in enumerate(combos)],
         ["did"] + [f"d{kk}" for kk in range(k)],
     )
@@ -305,7 +314,7 @@ def _mips_query_probe_table_col(
         )
         pert_frames.append(
             qx.crossJoin(F.broadcast(deltas)).select(
-                "query_id",
+                id_alias,
                 F.lit(t).alias("tbl"),
                 F.col("did"),
                 score.alias("score"),
@@ -315,13 +324,13 @@ def _mips_query_probe_table_col(
     sc = pert_frames[0]
     for fr in pert_frames[1:]:
         sc = sc.unionByName(fr)
-    w = Window.partitionBy("query_id", "tbl").orderBy(
+    w = Window.partitionBy(id_alias, "tbl").orderBy(
         F.col("score").asc(), F.col("did").asc()
     )
     topb = (
         sc.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= budget)
-        .select("query_id", "band_key")
+        .select(id_alias, "band_key")
     )
     return base_keys.unionByName(topb)
 
@@ -373,14 +382,72 @@ def mips_multiprobe_candidates(
 
         put, probe = compact_band_keys(put), compact_band_keys(probe)
     else:
-        probe = _mips_query_probe_table_col(
-            queries, cfg, budget, id_col, vec_col
+        probe = _mips_probe_table_col(
+            queries, cfg, budget, id_col, vec_col, side="query",
+            id_alias="query_id",
         )
     from lsh_rs_spark.operators.topk import resolve_probe_broadcast
 
     if resolve_probe_broadcast(
         queries, cfg.n_tables * (1 + budget), broadcast_probes
     ):
+        probe = F.broadcast(probe)
+    return (
+        probe.join(put, "band_key")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+
+def mips_store_multiprobe_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cfg: MIPSConfig,
+    budget: int,
+    M: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_udf: bool = True,
+    broadcast_probes: bool | None = None,
+) -> DataFrame:
+    """STORE-side multiprobe for the MIPS family — the roles-swapped dual
+    of ``mips_multiprobe_candidates`` (and the MIPS analogue of
+    ``l2_store_multiprobe_candidates``): the CORPUS emits, per table, its
+    base key plus the ``budget`` xi²-ranked perturbation keys of the
+    PUT-transformed stored vector ((1+budget)× index rows, paid once at
+    index-build time); queries probe with base keys only.  Use it when
+    queries vastly outnumber index builds; the query-side twin when the
+    index is large and queries are scarce.  This completes store-side
+    probing symmetry across the families (SimHash r5, L2 r6, MIPS r6).
+
+    Driver-gated against oracle.q_mips_store_multiprobe_candidates (the
+    all-3^k-subsets DuckDB ranking on the put transform, roles swapped).
+    """
+    if M is None:
+        M = mips_fit(corpus, vec_col, cfg.dim)
+    if use_udf:
+        put = mips_band_table(
+            corpus, cfg, M, "put", id_col, vec_col, "doc_id", True,
+            probes=budget,
+        )
+        probe = mips_band_table(
+            queries, cfg, M, "query", id_col, vec_col, "query_id", True
+        )
+        from lsh_rs_spark.functions.l2 import compact_band_keys
+
+        put, probe = compact_band_keys(put), compact_band_keys(probe)
+    else:
+        put = _mips_probe_table_col(
+            corpus, cfg, budget, id_col, vec_col, side="put", M=M,
+            id_alias="doc_id",
+        )
+        probe = mips_band_table(
+            queries, cfg, M, "query", id_col, vec_col, "query_id", False
+        )
+    from lsh_rs_spark.operators.topk import resolve_probe_broadcast
+
+    if resolve_probe_broadcast(queries, cfg.n_tables, broadcast_probes):
         probe = F.broadcast(probe)
     return (
         probe.join(put, "band_key")

@@ -1405,6 +1405,80 @@ WHERE c.vec_id <> p.vec_id
 """.strip()
 
 
+def q_mips_store_multiprobe_candidates(
+    cfg: MIPSConfig, query_mod: int = 100, budget: int = 4
+) -> str:
+    """Twin of mips_ops.mips_store_multiprobe_candidates — the mirror of
+    ``q_mips_multiprobe_candidates`` with the probing moved to the CORPUS
+    side: every stored vector contributes its base key plus the
+    top-``budget`` xi²-ranked perturbation keys of the PUT-transformed
+    vector (ranked over ALL 3^k−1 delta vectors — same
+    equivalence-to-the-heap argument), while queries probe with their
+    base (query-transform) keys only.  Same measure-zero FP assumptions
+    as the query-side twin."""
+    from itertools import product
+
+    from lsh_rs_spark.functions.l2 import l2_f_sql
+
+    n_tables, k = cfg.n_tables, cfg.k_hash
+    rr = repr(float(cfg.r))
+    fs = l2_f_sql("tv", n_tables, k, cfg.hash_dim, cfg.r, cfg.seed)
+    cf_cols = ", ".join(
+        f"{fs[t][kk]} AS f_{t}_{kk}" for t in range(n_tables) for kk in range(k)
+    )
+    cx_cols = []
+    for t in range(n_tables):
+        for kk in range(k):
+            f = f"f_{t}_{kk}"
+            xim = f"({f} - FLOOR({f} / {rr}) * {rr})"
+            cx_cols += [
+                f"CAST(FLOOR({f} / {rr}) AS BIGINT) AS h_{t}_{kk}",
+                f"{xim} AS xim_{t}_{kk}",
+                f"({rr} - {xim}) AS xip_{t}_{kk}",
+            ]
+    combos = [c for c in product((-1, 0, 1), repeat=k) if any(c)]
+    d_cols = ", ".join(f"d{i}" for i in range(k))
+    values = ", ".join(
+        f"({i}, {', '.join(str(d) for d in c)})" for i, c in enumerate(combos)
+    )
+    per_table = []
+    for t in range(n_tables):
+        score = " + ".join(
+            f"(CASE WHEN d{kk} = -1 THEN xim_{t}_{kk} * xim_{t}_{kk} "
+            f"WHEN d{kk} = 1 THEN xip_{t}_{kk} * xip_{t}_{kk} "
+            f"ELSE 0.0 END)"
+            for kk in range(k)
+        )
+        key = ", ".join(
+            f"CAST(h_{t}_{kk} + d{kk} AS VARCHAR)" for kk in range(k)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, did, {score} AS score, "
+            f"CONCAT_WS('-', '{t}', {key}) AS band_key "
+            f"FROM cx CROSS JOIN deltas"
+        )
+    scored = " UNION ALL ".join(per_table)
+    return f"""
+WITH {_mips_ctes(cfg, query_mod)},
+cf AS (SELECT vec_id, {cf_cols} FROM put_t),
+cx AS (SELECT vec_id, {", ".join(cx_cols)} FROM cf),
+deltas(did, {d_cols}) AS (VALUES {values}),
+sc AS ({scored}),
+store_keys AS (
+  SELECT vec_id, band_key FROM (
+    SELECT vec_id, band_key, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, tbl ORDER BY score ASC, did ASC) AS rnk
+    FROM sc
+  ) WHERE rnk <= {budget}
+  UNION ALL
+  SELECT vec_id, band_key FROM put_bands
+)
+SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS doc_id
+FROM query_bands p JOIN store_keys c ON c.band_key = p.band_key
+WHERE c.vec_id <> p.vec_id
+""".strip()
+
+
 def q_mips_topk(cfg: MIPSConfig, query_mod: int = 100, k: int = 5) -> str:
     from lsh_rs_spark.functions.mips import inner_product_sql
 

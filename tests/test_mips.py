@@ -22,6 +22,7 @@ from lsh_rs_spark.operators.mips_ops import (
     mips_band_table,
     mips_brute_force_topk,
     mips_multiprobe_candidates,
+    mips_store_multiprobe_candidates,
     mips_topk,
 )
 
@@ -126,6 +127,33 @@ def test_mips_multiprobe_paths_agree_and_monotone(spark, emb):
         assert a == b, f"path divergence at budget={budget}"
         if prev is not None:
             assert prev <= a, f"budget {budget} lost base candidates"
+        prev = a
+    assert len(prev) > 0
+
+
+def test_mips_store_multiprobe_paths_agree_and_monotone(spark, emb):
+    """Store-side dual: NumPy and relational Column paths agree; the set
+    grows monotonically with budget; budget-0 equals the query-side
+    budget-0 base (both degenerate to the plain bucket join)."""
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+
+    def pairs(df):
+        return {(r["query_id"], r["doc_id"]) for r in df.collect()}
+
+    base_q = pairs(
+        mips_multiprobe_candidates(queries, emb, CFG, 0, use_udf=True)
+    )
+    prev = None
+    for budget in (0, 3):
+        a = pairs(mips_store_multiprobe_candidates(
+            queries, emb, CFG, budget, use_udf=True))
+        b = pairs(mips_store_multiprobe_candidates(
+            queries, emb, CFG, budget, use_udf=False))
+        assert a == b, f"path divergence at budget={budget}"
+        if budget == 0:
+            assert a == base_q
+        if prev is not None:
+            assert prev <= a
         prev = a
     assert len(prev) > 0
 
