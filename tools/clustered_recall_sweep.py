@@ -172,7 +172,10 @@ def main() -> None:
     # SCALED vectors, candidates re-ranked by exact dot.  Same 2-table k=4
     # r=1.2 hash shape as the L2 sweep so the probe budget is the live axis.
     from lsh_rs_spark.config import MIPSConfig
-    from lsh_rs_spark.operators.mips_ops import mips_multiprobe_candidates
+    from lsh_rs_spark.operators.mips_ops import (
+        mips_multiprobe_candidates,
+        mips_store_multiprobe_candidates,
+    )
 
     rngm = np.random.default_rng(SEED + 1)
     scales = rngm.uniform(0.7, 1.4, size=X.shape[0])
@@ -190,11 +193,8 @@ def main() -> None:
     queries_m = emb_m.where(F.col("vec_id") % QUERY_MOD == 0).cache()
     queries_m.count()
     mips_cfg = MIPSConfig(dim=DIM, n_tables=2, k_hash=4, r=1.2, seed=42)
-    results["mips_probes"] = {}
-    for budget in (0, 2, 4, 8):
-        cand = mips_multiprobe_candidates(
-            queries_m, emb_m, mips_cfg, budget, use_udf=True
-        )
+
+    def mips_recall(cand):
         scored = (
             cand
             .join(emb_m.select(F.col("vec_id").alias("query_id"),
@@ -213,10 +213,20 @@ def main() -> None:
         top_m: dict[int, list] = {}
         for r in rows:
             top_m.setdefault(r.query_id, []).append(r.doc_id)
-        results["mips_probes"][budget] = round(
-            recall_of(top_m, truth_mips, K), 4)
-        print(f"mips budget={budget}: {results['mips_probes'][budget]}",
-              file=sys.stderr)
+        return round(recall_of(top_m, truth_mips, K), 4)
+
+    results["mips_probes"] = {}
+    results["mips_store_probes"] = {}
+    for budget in (0, 2, 4, 8):
+        results["mips_probes"][budget] = mips_recall(
+            mips_multiprobe_candidates(
+                queries_m, emb_m, mips_cfg, budget, use_udf=True))
+        results["mips_store_probes"][budget] = mips_recall(
+            mips_store_multiprobe_candidates(
+                queries_m, emb_m, mips_cfg, budget, use_udf=True))
+        print(f"mips budget={budget}: query-side "
+              f"{results['mips_probes'][budget]} store-side "
+              f"{results['mips_store_probes'][budget]}", file=sys.stderr)
 
     # manifold stats for the writeup
     same = [float(X[i] @ X[i + 1]) for i in range(0, 2000, CLUSTER_SIZE)]
