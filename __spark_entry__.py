@@ -122,6 +122,12 @@ def q_edges_jaccard(spark, sf_dir):
     return _edges(spark, sf_dir)
 
 
+def q_containment_edges(spark, sf_dir):
+    sig = _sig(spark, sf_dir)
+    pairs = L.candidate_pairs(L.explode_bands(sig, CFG), CFG)
+    return V.containment_edges(pairs, sig, threshold=0.8)
+
+
 def q_dup_components(spark, sf_dir):
     return _components(spark, sf_dir)
 
@@ -506,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_stats": q_bucket_stats,
         "candidate_pairs": q_candidate_pairs,
         "edges_jaccard": q_edges_jaccard,
+        "containment_edges": q_containment_edges,
         "dup_components": q_dup_components,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
@@ -556,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "bucket_stats": O.q_bucket_stats(CFG),
         "candidate_pairs": O.q_candidate_pairs(CFG),
         "edges_jaccard": O.q_edges(CFG),
+        "containment_edges": O.q_containment_edges(CFG),
         "dup_components": O.q_components(CFG),
         "dup_clusters": O.q_dup_clusters(CFG),
         "dedup_keep_list": O.q_dedup_keep_list(CFG),

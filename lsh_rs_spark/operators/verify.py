@@ -103,6 +103,55 @@ def jaccard_edges_exploded(
     )
 
 
+def containment_edges(
+    pairs: DataFrame, sig: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact set containment (overlap coefficient) per candidate pair.
+
+    Near-dup Jaccard misses asymmetric duplication — a short document whose
+    shingles are almost all contained in a longer one (boilerplate-wrapped
+    article, quoted post, page-plus-chrome rescrape) has low Jaccard but
+    high containment.  This computes the Szymkiewicz–Simpson overlap
+    coefficient ``|A∩B| / min(|A|, |B|)`` — the max of the two directed
+    containments |A∩B|/|A| and |A∩B|/|B|; the directed forms are derivable
+    from the returned (n_common, n_src, n_dst).  Plan shape identical to
+    ``jaccard_edges``: semi-join prune of the signature table to pair
+    participants, then in-row ``size(array_intersect)`` (codegen, no
+    explode, no per-pair groupBy).
+
+    Recall caveat (documented, not hidden): candidate pairs come from
+    symmetric MinHash banding calibrated for JACCARD — a containment pair
+    with very different set sizes has jaccard ≤ min/max size ratio and may
+    never share a band.  The published scale path for low-Jaccard
+    containment search is size-stratified banding (LSH Ensemble, Zhu et
+    al., VLDB 2016); for webtext boilerplate supersets (size ratios ≲3×)
+    symmetric bands recall adequately, and byte-level containment is
+    separately covered by the suffix-array substring operators.  Exact
+    re-rank stage analogue: `lsh-py/src/dist.rs:26-52`.
+    """
+    cand_docs = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    pruned = (
+        sig.select("doc_id", "shingles")
+        .join(cand_docs, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    return (
+        pairs
+        .join(pruned.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_src")), "src")
+        .join(pruned.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_dst")), "dst")
+        .withColumn("n_common", F.size(F.array_intersect("sh_src", "sh_dst")).cast("long"))
+        .withColumn("n_src", F.size("sh_src").cast("long"))
+        .withColumn("n_dst", F.size("sh_dst").cast("long"))
+        .withColumn("containment", F.col("n_common") / F.least("n_src", "n_dst"))
+        .where(F.col("containment") >= threshold)
+        .select("src", "dst", "n_common", "n_src", "n_dst", "containment")
+    )
+
+
 def hamming_edges(
     pairs: DataFrame, sketches: DataFrame, cfg: SimHashConfig
 ) -> DataFrame:

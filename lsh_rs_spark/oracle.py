@@ -150,6 +150,28 @@ def q_edges(cfg: DedupConfig) -> str:
     )
 
 
+def q_containment_edges(cfg: DedupConfig, threshold: float = 0.8) -> str:
+    """Twin of ``verify.containment_edges``: overlap coefficient
+    |A∩B| / min(|A|,|B|) over the same capped candidate pairs."""
+    return f"""
+WITH {dedup_ctes(cfg)},
+cont_inter AS (
+  SELECT p.src, p.dst, COUNT(*) AS n_common
+  FROM cand_pairs p
+  JOIN shingle_set sa ON sa.doc_id = p.src
+  JOIN shingle_set sb ON sb.doc_id = p.dst AND sb.sid = sa.sid
+  GROUP BY p.src, p.dst
+)
+SELECT i.src, i.dst, CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(za.n AS BIGINT) AS n_src, CAST(zb.n AS BIGINT) AS n_dst,
+       i.n_common / LEAST(za.n, zb.n) AS containment
+FROM cont_inter i
+JOIN doc_sizes za ON za.doc_id = i.src
+JOIN doc_sizes zb ON zb.doc_id = i.dst
+WHERE i.n_common / LEAST(za.n, zb.n) >= {threshold}
+""".strip()
+
+
 def _components_ctes(cfg: DedupConfig) -> str:
     return f"""
 {dedup_ctes(cfg)},

@@ -158,6 +158,8 @@ def suggest_shuffle_partitions(
     cores: int,
     target_partition_bytes: int = 64 << 20,
     avg_doc_bytes: int = 750,
+    pairs_bytes_per_doc: int | None = None,
+    edges_bytes_per_doc: int | None = None,
 ) -> int:
     """``spark.sql.shuffle.partitions`` for a dedup run of ``n_docs``.
 
@@ -182,8 +184,98 @@ def suggest_shuffle_partitions(
     cluster should be sized, while the waves floor keeps tiny corpora
     from underusing a big executor fleet.
     """
-    heavy_bytes = max(
-        PAIRS_SHUFFLE_BYTES_PER_DOC, EDGES_SHUFFLE_BYTES_PER_DOC
-    ) * n_docs * (avg_doc_bytes / 750.0)
+    if pairs_bytes_per_doc is not None or edges_bytes_per_doc is not None:
+        # calibrated constants (calibrate_shuffle_constants) already embed
+        # the corpus's document lengths — no avg_doc_bytes rescaling
+        heavy_bytes = max(
+            pairs_bytes_per_doc or PAIRS_SHUFFLE_BYTES_PER_DOC,
+            edges_bytes_per_doc or EDGES_SHUFFLE_BYTES_PER_DOC,
+        ) * n_docs
+    else:
+        heavy_bytes = max(
+            PAIRS_SHUFFLE_BYTES_PER_DOC, EDGES_SHUFFLE_BYTES_PER_DOC
+        ) * n_docs * (avg_doc_bytes / 750.0)
     by_size = -(-int(heavy_bytes) // target_partition_bytes)
     return max(2 * cores, by_size)
+
+
+def _shuffle_write_by_stage(spark) -> dict:
+    """{stageId: shuffle-write bytes} over the stages the app status store
+    retains — the numbers the UI's stage table shows, read headless.
+    Per-stage (not a grand total) so callers can attribute bytes to the
+    stages that appeared between two snapshots even while the store evicts
+    old stages (spark.ui.retainedStages).  Uses the same py4j surface the
+    UI backend reads; if a Spark upgrade moves it, callers get a clear
+    RuntimeError (calibration is an offline tuning step, never on a query
+    path)."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        # Spark 4 signature: stageList(statuses, details, withSummaries,
+        # unsortedQuantiles, taskStatus) — empty filters mean "all stages"
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList())
+        it = stages.iterator()
+        out = {}
+        while it.hasNext():
+            s = it.next()
+            out[(s.stageId(), s.attemptId())] = s.shuffleWriteBytes()
+        return out
+    except Exception as exc:  # pragma: no cover - depends on Spark internals
+        raise RuntimeError(
+            "cannot read shuffle metrics from the Spark status store; "
+            "fall back to the module constants PAIRS/EDGES_SHUFFLE_BYTES_PER_DOC"
+        ) from exc
+
+
+def _new_stage_bytes(after: dict, before: dict) -> int:
+    return sum(v for k, v in after.items() if k not in before)
+
+
+def calibrate_shuffle_constants(spark, docs: DataFrame) -> dict:
+    """Measure the dedup pipeline's per-document shuffle volume on THIS
+    corpus (sampled or full) and return calibrated constants for
+    :func:`suggest_shuffle_partitions`.
+
+    The module defaults (310 / 1690 B/doc) were measured on the synthetic
+    web corpus (tools/stage_bytes.py, round 6); corpora with different
+    document lengths, dup rates or shingle densities shift them.  Both
+    heavy exchanges are O(n_docs), so constants measured on a ~100k-doc
+    sample extrapolate linearly — run this once per new corpus family and
+    pass the results to ``suggest_shuffle_partitions(...,
+    pairs_bytes_per_doc=..., edges_bytes_per_doc=...)``.
+
+    Runs signatures → candidate pairs → exact-verify edges with the
+    production config and attributes shuffle-WRITE bytes by differencing
+    the app-status-store total around each stage (valid because the stages
+    are materialized sequentially; concurrent foreign jobs on the same
+    session would pollute the diff — calibrate on a quiet session).
+    """
+    from lsh_rs_spark.config import PIPELINE_CONFIG
+    from lsh_rs_spark.operators import lsh as _L, verify as _V
+
+    cfg = PIPELINE_CONFIG
+    docs = docs.persist()
+    n = docs.count()
+    sig = _L.signatures(docs, cfg).persist()
+    sig.count()
+    try:
+        base = _shuffle_write_by_stage(spark)
+        pairs = _L.candidate_pairs(
+            _L.explode_bands(sig, cfg), cfg
+        ).localCheckpoint(eager=True)
+        after_pairs = _shuffle_write_by_stage(spark)
+        _V.jaccard_edges(pairs, sig, cfg).count()
+        after_edges = _shuffle_write_by_stage(spark)
+    finally:
+        sig.unpersist()
+        docs.unpersist()
+    return {
+        "n_docs": n,
+        "pairs_bytes_per_doc": max(
+            1, -(-_new_stage_bytes(after_pairs, base) // n)),
+        "edges_bytes_per_doc": max(
+            1, -(-_new_stage_bytes(after_edges, after_pairs) // n)),
+    }

@@ -910,3 +910,28 @@ def test_hot_span_anchor_count_flags_position_spam(spark):
     assert hot_span_anchor_count(
         docs.where("doc_id >= 2"), min_match=48, k_gram=16, max_group_docs=10
     ) == 0
+
+
+def test_containment_edges_catches_asymmetric_superset(spark):
+    """A short doc whose shingle set is fully contained in a long doc has
+    jaccard 0.25 (below threshold) but containment 1.0 — jaccard_edges
+    misses it, containment_edges keeps it; a disjoint pair passes neither."""
+    from lsh_rs_spark.operators import verify as V
+
+    sig = spark.createDataFrame(
+        [
+            (1, list(range(10))),          # short: A ⊂ B
+            (2, list(range(40))),          # long superset
+            (3, list(range(100, 140))),    # disjoint from 1
+        ],
+        "doc_id: long, shingles: array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "src: long, dst: long"
+    )
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4,
+                      jaccard_threshold=0.8)
+    assert V.jaccard_edges(pairs, sig, cfg).count() == 0
+    rows = V.containment_edges(pairs, sig, threshold=0.9).collect()
+    assert [(r.src, r.dst, r.n_common, r.n_src, r.n_dst, r.containment)
+            for r in rows] == [(1, 2, 10, 10, 40, 1.0)]

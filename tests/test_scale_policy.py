@@ -241,3 +241,27 @@ def test_attach_payload_dedups_duplicate_corpus_ids(spark):
     out = _attach_payload(res, corpus, "doc_id", "text", "text").collect()
     assert len(out) == 1
     assert out[0].text == "a-text"  # deterministic min pick
+
+
+def test_calibrate_shuffle_constants_measures_real_bytes(spark):
+    """Per-corpus recalibration of the partition-sizing constants: the
+    status-store diff must attribute non-trivial shuffle-write bytes to
+    both heavy exchanges, and the calibrated constants must plug into
+    suggest_shuffle_partitions."""
+    from lsh_rs_spark.sources.webpages import synth_webpages, with_doc_ids
+    from lsh_rs_spark.tuning import (
+        calibrate_shuffle_constants,
+        suggest_shuffle_partitions,
+    )
+
+    docs = with_doc_ids(synth_webpages(spark, 2_000, partitions=4))
+    consts = calibrate_shuffle_constants(spark, docs)
+    assert consts["n_docs"] >= 2_000
+    assert consts["pairs_bytes_per_doc"] >= 1
+    assert consts["edges_bytes_per_doc"] >= 1
+    p = suggest_shuffle_partitions(
+        consts["n_docs"], 8,
+        pairs_bytes_per_doc=consts["pairs_bytes_per_doc"],
+        edges_bytes_per_doc=consts["edges_bytes_per_doc"],
+    )
+    assert p >= 16

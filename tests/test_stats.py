@@ -124,3 +124,18 @@ def test_suggest_shuffle_partitions():
     # not millions (AQE-coalescible) — scale math holds
     assert 50_000 < suggest_shuffle_partitions(
         10_000_000_000, 1000, avg_doc_bytes=10_000) < 5_000_000
+
+
+def test_suggest_shuffle_partitions_calibrated_constants():
+    from lsh_rs_spark.tuning import suggest_shuffle_partitions
+
+    # calibrated constants override the module defaults verbatim (no
+    # avg_doc_bytes rescaling — measured bytes already embed doc length)
+    base = suggest_shuffle_partitions(5_600_000, 8)
+    doubled = suggest_shuffle_partitions(
+        5_600_000, 8, edges_bytes_per_doc=2 * 1690)
+    assert doubled >= 2 * base - 16
+    # a lighter corpus needs fewer partitions, floored at 2 waves/core
+    assert suggest_shuffle_partitions(
+        5_600_000, 8, pairs_bytes_per_doc=10, edges_bytes_per_doc=20
+    ) < base
