@@ -9,6 +9,7 @@ compute bit-identical integers; see lsh_rs_spark/oracle.py.
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
 import os
 import sys
 from collections.abc import Callable
@@ -106,6 +107,17 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
+def q_normalized_signatures(spark, sf_dir):
+    # robust-normalization variant (lowercase + punct/ws collapse before
+    # shingling, cfg.normalize=True): the regex front end must compute
+    # bit-identically in Spark (Java regex) and DuckDB (RE2)
+    import dataclasses
+    cfg_norm = dataclasses.replace(CFG, normalize=True)
+    return L.signatures(_docs(spark, sf_dir), cfg_norm).select(
+        "doc_id", F.posexplode("minhash").alias("j", "h")
+    )
+
+
 def q_lsh_buckets(spark, sf_dir):
     return L.explode_bands(_sig(spark, sf_dir), CFG)
 
@@ -140,6 +152,16 @@ def q_dedup_keep_list(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     labels = CC.with_singletons(_components(spark, sf_dir), docs)
     return CC.dedup_representatives(labels)
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    # quality-policy keep-list: representative = LONGEST member per
+    # cluster (ties -> min doc_id) instead of the arbitrary min-id one
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    labels = CC.with_singletons(_components(spark, sf_dir), docs)
+    scores = docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+    return CC.dedup_representatives_by(labels, scores, "n_chars")
 
 
 def q_knn_text_topk(spark, sf_dir):
@@ -508,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "shingle_stats": q_shingle_stats,
         "minhash_signatures": q_minhash_signatures,
+        "normalized_signatures": q_normalized_signatures,
         "lsh_buckets": q_lsh_buckets,
         "bucket_stats": q_bucket_stats,
         "candidate_pairs": q_candidate_pairs,
@@ -516,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
+        "dedup_keep_best": q_dedup_keep_best,
         "knn_text_topk": q_knn_text_topk,
         "knn_text_topk_bounded": q_knn_text_topk_bounded,
         "exact_dup_edges": q_exact_dup_edges,
@@ -559,6 +583,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": O.q_exact_dup_groups(),
         "shingle_stats": O.q_shingle_stats(CFG),
         "minhash_signatures": O.q_minhash_signatures(CFG),
+        "normalized_signatures": O.q_minhash_signatures(_dataclasses.replace(CFG, normalize=True)),
         "lsh_buckets": O.q_lsh_buckets(CFG),
         "bucket_stats": O.q_bucket_stats(CFG),
         "candidate_pairs": O.q_candidate_pairs(CFG),
@@ -567,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_components": O.q_components(CFG),
         "dup_clusters": O.q_dup_clusters(CFG),
         "dedup_keep_list": O.q_dedup_keep_list(CFG),
+        "dedup_keep_best": O.q_dedup_keep_best(CFG),
         "knn_text_topk": O.q_knn_text_topk(CFG, KNN_QUERY_MOD, KNN_K),
         "knn_text_topk_bounded": O.q_knn_text_topk_bounded(
             CFG, KNN_QUERY_MOD, KNN_K, bound=3

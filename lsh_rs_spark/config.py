@@ -49,6 +49,14 @@ class DedupConfig:
     lowercase: bool = False           # normalization applied to the *derived*
                                       # shingle column only; `text` is never
                                       # rewritten (byte-identical per url)
+    normalize: bool = False           # ROBUST normalization before shingling
+                                      # (published webtext-dedup practice:
+                                      # lowercase + non-alnum runs → one
+                                      # space + trim), so case/punctuation
+                                      # rewraps of the same prose dedup
+                                      # together; derived shingles only,
+                                      # `text` still never rewritten.
+                                      # Implies lowercase.
     num_perm: int = 128               # total MinHash functions (b*r)
     bands: int = 16                   # b  (≡ reference n_hash_tables L)
     rows_per_band: int = 8            # r  (≡ reference n_projections K)

@@ -27,6 +27,37 @@ def _maybe_lower(c: Column, lowercase: bool) -> Column:
     return F.lower(c) if lowercase else c
 
 
+#: every non-alphanumeric ASCII char (controls, whitespace, punctuation,
+#: DEL), as explicit hex ranges around the 0-9 / a-z islands (input is
+#: lowercased first, so A-Z needs no carve-out).  Explicit ranges instead
+#: of a negated class or ``\\s`` on purpose: this exact literal parses
+#: identically in Spark's Java regex and DuckDB's RE2 (negated unicode
+#: classes diverge on astral-plane chars, and Java's \\s includes \\x0B
+#: while RE2's does not), and non-ASCII bytes pass through untouched
+#: rather than being silently folded (CJK/accented text keeps deduping
+#: on content, not on its removal).
+_NORM_STRIP_RE = r"[\x00-/:-@\[-\x60{-\x7f]+"
+
+
+def normalize_text(c: Column) -> Column:
+    """Robust dedup normalization (published webtext practice -- the
+    RefinedWeb/FineWeb MinHash recipes): lowercase, collapse every run of
+    ASCII punctuation/whitespace to ONE space, trim.  Case, punctuation
+    and whitespace rewraps of the same prose then shingle identically."""
+    return F.trim(F.regexp_replace(F.lower(c), _NORM_STRIP_RE, " "))
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_text` (RE2 'g' = replace all)."""
+    return (
+        f"TRIM(REGEXP_REPLACE(LOWER({expr}), '{_NORM_STRIP_RE}', ' ', 'g'))"
+    )
+
+
+def _pre(c: Column, lowercase: bool, normalize: bool = False) -> Column:
+    return normalize_text(c) if normalize else _maybe_lower(c, lowercase)
+
+
 def word_shingles(text: Column | str, n: int, lowercase: bool = False) -> Column:
     """ARRAY<STRING> of word n-grams (space-joined), duplicates preserved.
 
@@ -77,15 +108,26 @@ def char_shingles_sql(text_expr: str, n: int, lowercase: bool = False) -> str:
 
 
 def shingles_col(cfg: DedupConfig, text: Column | str = "text") -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    if cfg.normalize:
+        # robust normalization subsumes lowercasing; applied once here so
+        # every shingle mode (and the oracle twin below) shares it
+        t, lower = normalize_text(t), False
+    else:
+        lower = cfg.lowercase
     if cfg.shingle_mode == "word":
-        return word_shingles(text, cfg.shingle_size, cfg.lowercase)
-    return char_shingles(text, cfg.shingle_size, cfg.lowercase)
+        return word_shingles(t, cfg.shingle_size, lower)
+    return char_shingles(t, cfg.shingle_size, lower)
 
 
 def shingles_sql(cfg: DedupConfig, text_expr: str = "text") -> str:
+    if cfg.normalize:
+        text_expr, lower = normalize_text_sql(text_expr), False
+    else:
+        lower = cfg.lowercase
     if cfg.shingle_mode == "word":
-        return word_shingles_sql(text_expr, cfg.shingle_size, cfg.lowercase)
-    return char_shingles_sql(text_expr, cfg.shingle_size, cfg.lowercase)
+        return word_shingles_sql(text_expr, cfg.shingle_size, lower)
+    return char_shingles_sql(text_expr, cfg.shingle_size, lower)
 
 
 def shingle_ids_col(cfg: DedupConfig, text: Column | str = "text") -> Column:
@@ -116,7 +158,7 @@ def word_hash_shingle_ids(
     access (O(words²) per doc).
     """
     n = cfg.shingle_size
-    t = _maybe_lower(F.col(text_col), cfg.lowercase)
+    t = _pre(F.col(text_col), cfg.lowercase, cfg.normalize)
     w = F.split(t, " ")
     step1 = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),

@@ -469,3 +469,44 @@ def dedup_representatives(all_labels: DataFrame) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+def dedup_representatives_by(
+    all_labels: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-list with a QUALITY policy: representative = argmax score per
+    cluster (ties → min doc id), instead of the arbitrary min-id member.
+
+    A webtext training pipeline usually wants to keep the BEST member of
+    each duplicate cluster — the longest page, the least-boilerplate
+    rescrape, the highest language-id confidence — not the one with the
+    smallest content-hash id.  ``scores`` is any (doc_id, score) table;
+    compose with the text-quality operators (`functions/text.py`) or a
+    plain ``length(text)``.
+
+    Plan shape: two hash aggregations + joins on ``cluster_id`` — all
+    partial-aggregable map-side, no window sort, so a pathological giant
+    cluster costs a hot key in a count-style agg rather than a full
+    single-partition sort (the skew shape windows have).  The min-id
+    tie-break is computed as a second agg over only the max-score members
+    — no id negation tricks, so full-range hash ids (xxhash64 doc keys
+    can be negative) are safe.  Output: one row per doc —
+    (doc_id, cluster_id, <score_col>, is_representative).
+    """
+    joined = all_labels.join(scores.select(id_col, score_col), id_col)
+    mx = joined.groupBy("cluster_id").agg(F.max(score_col).alias("_mx"))
+    best = (
+        joined.join(mx, "cluster_id")
+        .where(F.col(score_col) == F.col("_mx"))
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("_best_id"))
+    )
+    return joined.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        score_col,
+        (F.col(id_col) == F.col("_best_id")).alias("is_representative"),
+    )

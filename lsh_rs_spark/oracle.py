@@ -217,6 +217,28 @@ FROM docs d LEFT JOIN components c ON c.doc_id = d.doc_id
 """.strip()
 
 
+def q_dedup_keep_best(cfg: DedupConfig) -> str:
+    """Twin of ``components.dedup_representatives_by`` with score =
+    LENGTH(text): keep the LONGEST member of each dup cluster, ties to
+    the min doc id."""
+    return f"""
+WITH RECURSIVE {_components_ctes(cfg)},
+all_labels AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+  FROM docs d LEFT JOIN components c ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM all_labels
+)
+SELECT doc_id, cluster_id, n_chars, (rn = 1) AS is_representative
+FROM ranked
+""".strip()
+
+
 def q_knn_text_topk(cfg: DedupConfig, query_mod: int = 50, k: int = 5) -> str:
     return f"""
 WITH {dedup_ctes(cfg)},

@@ -84,13 +84,26 @@ class DedupPipeline:
         return self.store.read(name)
 
     def run(
-        self, docs: DataFrame, resume: bool = True, exact_prededup: bool = True
+        self,
+        docs: DataFrame,
+        resume: bool = True,
+        exact_prededup: bool = True,
+        keep_policy: str = "min_id",
     ) -> DataFrame:
         """exact_prededup: collapse byte-identical texts to one representative
         BEFORE LSH (one cheap hash-agg).  Boilerplate/exact-twin hot buckets
         disappear from the LSH stage — the most effective skew lever at web
         scale — and the exact groups re-enter the cluster graph as
-        jaccard=1.0 edges, so final cluster assignments are identical."""
+        jaccard=1.0 edges, so final cluster assignments are identical.
+
+        keep_policy: which cluster member survives — ``"min_id"`` (default,
+        `dedup_representatives`) or ``"longest"`` (keep the longest text per
+        cluster, ties → min id; `dedup_representatives_by`, the usual
+        webtext choice).  Cluster ASSIGNMENTS are identical either way; only
+        `is_representative` flips.  The keep_list stage fingerprint carries
+        the policy so a resume can never mix policies."""
+        if keep_policy not in ("min_id", "longest"):
+            raise ValueError("keep_policy must be 'min_id' or 'longest'")
         t_start = time.time()
         cfg = self.cfg
         n_docs = docs.count()
@@ -183,16 +196,31 @@ class DedupPipeline:
             ("edges", "exact_groups"),
             resume,
         )
-        keep = self._stage(
-            "keep_list",
-            lambda: CC.dedup_representatives(
-                CC.with_singletons(
-                    comps, docs.where(F.col("text").isNotNull()), id_col="doc_id"
+        labeled = docs.where(F.col("text").isNotNull())
+
+        def build_keep():
+            labels = CC.with_singletons(comps, labeled, id_col="doc_id")
+            if keep_policy == "longest":
+                scores = labeled.select(
+                    "doc_id", F.length("text").cast("long").alias("n_chars")
                 )
-            ),
-            ("components", "signatures"),
-            resume,
-        )
+                return CC.dedup_representatives_by(labels, scores, "n_chars")
+            return CC.dedup_representatives(labels)
+
+        # policy rides the keep_list fingerprint ONLY: a resume never mixes
+        # policies, while the policy-independent upstream stages (edges,
+        # components, ...) stay reusable when switching policy
+        base_fp = self.store.config_fingerprint
+        self.store.config_fingerprint = base_fp + "|keep:" + keep_policy
+        try:
+            keep = self._stage(
+                "keep_list",
+                build_keep,
+                ("components", "signatures"),
+                resume,
+            )
+        finally:
+            self.store.config_fingerprint = base_fp
 
         wall = time.time() - t_start
         self.metrics["summary"] = {

@@ -935,3 +935,23 @@ def test_containment_edges_catches_asymmetric_superset(spark):
     rows = V.containment_edges(pairs, sig, threshold=0.9).collect()
     assert [(r.src, r.dst, r.n_common, r.n_src, r.n_dst, r.containment)
             for r in rows] == [(1, 2, 10, 10, 40, 1.0)]
+
+
+def test_dedup_representatives_by_keeps_best_scored_member(spark):
+    """Quality-policy keep-list: in cluster {1,2,3} the longest doc (id 3)
+    is kept even though min-id policy would keep 1; tie on score falls
+    back to min doc_id; singleton stays its own representative."""
+    from lsh_rs_spark.operators import components as CC
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id: long, cluster_id: long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 50), (7, 20), (8, 20), (9, 5)],
+        "doc_id: long, n_chars: long",
+    )
+    out = {r.doc_id: (r.is_representative, r.n_chars)
+           for r in CC.dedup_representatives_by(labels, scores, "n_chars").collect()}
+    assert out == {1: (False, 10), 2: (False, 30), 3: (True, 50),
+                   7: (True, 20), 8: (False, 20), 9: (True, 5)}

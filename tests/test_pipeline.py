@@ -553,3 +553,33 @@ def test_auto_cc_driver_fast_path_matches_distributed(spark):
                                "src: string, dst: string")
     got = rows(CC.connected_components_auto(se))
     assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
+
+
+def test_pipeline_keep_policy_longest(spark, tmp_path):
+    """keep_policy='longest': cluster assignments identical to min_id, one
+    representative per cluster = the longest member; switching policy on
+    the same workdir reuses the policy-independent upstream stages but
+    rebuilds keep_list (fingerprint carries the policy)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    wd = str(tmp_path / "kp")
+    p1 = DedupPipeline(spark, CFG, wd)
+    keep_min = p1.run(docs, resume=False).collect()
+    p2 = DedupPipeline(spark, CFG, wd)
+    keep_long = p2.run(docs, resume=True, keep_policy="longest").collect()
+    assert p2.metrics["components"].get("resumed") is True
+    assert "resumed" not in p2.metrics["keep_list"]
+
+    assert {(r.doc_id, r.cluster_id) for r in keep_min} == \
+           {(r.doc_id, r.cluster_id) for r in keep_long}
+    lengths = {r.doc_id: len(r.text) for r in docs.select("doc_id", "text").collect()}
+    by_cluster: dict = {}
+    for r in keep_long:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        reps = [m for m in members if m.is_representative]
+        assert len(reps) == 1
+        assert lengths[reps[0].doc_id] == max(lengths[m.doc_id] for m in members)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep_policy"):
+        p2.run(docs, keep_policy="shortest")

@@ -183,3 +183,42 @@ def test_url_canonicalize_semantics(spark):
     got = [r.c for r in df.select(url_canonicalize("url").alias("c")).collect()]
     for (u, want), g in zip(cases, got):
         assert g == want, (u, g, want)
+
+
+def test_normalize_text_dedups_case_punct_rewraps(spark):
+    """cfg.normalize=True: case/punctuation/whitespace rewraps of the same
+    prose become exact near-dups (jaccard 1.0); the default config keeps
+    them apart.  Also pins the Spark-side normalization output so the
+    Java-regex/RE2 class stays byte-compatible."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from lsh_rs_spark.config import DedupConfig
+    from lsh_rs_spark.functions.shingles import normalize_text
+    from lsh_rs_spark.operators import lsh as L
+    from lsh_rs_spark.operators import verify as V
+
+    row = spark.range(1).select(
+        normalize_text(F.lit("Hello,  World!! -- déjà_vu (42)")).alias("t")
+    ).collect()[0]
+    assert row.t == "hello world déjà vu 42"
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    wrapped = ("The QUICK, brown fox -- jumps!! over...  the LAZY dog?? " * 4)
+    docs = spark.createDataFrame(
+        [(1, base.strip()), (2, wrapped.strip())], "doc_id: long, text: string"
+    )
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4,
+                      jaccard_threshold=0.9)
+    cfg_norm = dataclasses.replace(cfg, normalize=True)
+
+    def edges(c):
+        sig = L.signatures(docs, c)
+        return V.jaccard_edges(
+            L.candidate_pairs(L.explode_bands(sig, c), c), sig, c
+        ).collect()
+
+    assert edges(cfg) == []
+    got = edges(cfg_norm)
+    assert len(got) == 1 and got[0].jaccard == 1.0
