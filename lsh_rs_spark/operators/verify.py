@@ -119,15 +119,19 @@ def containment_edges(
     participants, then in-row ``size(array_intersect)`` (codegen, no
     explode, no per-pair groupBy).
 
-    Recall caveat (documented, not hidden): candidate pairs come from
-    symmetric MinHash banding calibrated for JACCARD — a containment pair
-    with very different set sizes has jaccard ≤ min/max size ratio and may
-    never share a band.  The published scale path for low-Jaccard
-    containment search is size-stratified banding (LSH Ensemble, Zhu et
-    al., VLDB 2016); for webtext boilerplate supersets (size ratios ≲3×)
-    symmetric bands recall adequately, and byte-level containment is
-    separately covered by the suffix-array substring operators.  Exact
-    re-rank stage analogue: `lsh-py/src/dist.rs:26-52`.
+    Recall caveat (documented AND measured, not hidden): candidate pairs
+    come from symmetric MinHash banding calibrated for JACCARD — a full
+    containment pair at size ratio R has jaccard ≈ 1/R, so band recall
+    decays steeply with R.  Measured on planted containment pairs at the
+    production config (tools/containment_recall.json, K=128 b=16 r=8
+    OPH): recall 1.00 at R=1.2, 0.75 at R=1.5, **0.13 at R=2, ~0 at
+    R≥3** (consistently above the analytic S-curve 1-(1-R^-r)^b — OPH's
+    densified bands are correlated — but the cliff is real).  Use this
+    operator for near-size rewraps (R ≲ 1.5); for larger supersets use
+    the suffix-array substring operators (byte-level anchors,
+    ratio-independent) or size-stratified banding (LSH Ensemble, Zhu et
+    al., VLDB 2016).  Exact re-rank stage analogue:
+    `lsh-py/src/dist.rs:26-52`.
     """
     cand_docs = (
         pairs.select(F.col("src").alias("doc_id"))
