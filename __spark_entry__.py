@@ -232,6 +232,16 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_hash_split_assignments(spark, sf_dir):
+    # deterministic engine-portable train/val/test split (md5 family):
+    # same rows land in the same split in Spark and DuckDB
+    from lsh_rs_spark.functions.sampling import hash_split
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
 def q_quality_scores(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     n_chars = F.length("text").cast("long")
@@ -549,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_multiprobe_pairs": q_simhash_multiprobe_pairs,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
+        "hash_split_assignments": q_hash_split_assignments,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "url_dedup_groups": q_url_dedup_groups,
@@ -606,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_counts": O.q_token_counts(),
         "quality_scores": O.q_quality_scores(),
+        "hash_split_assignments": O.q_hash_split(),
         "lang_id": O.q_lang_id(),
         "doc_fingerprints": O.q_doc_fingerprints(),
         "url_dedup_groups": O.q_url_dedup_groups(),

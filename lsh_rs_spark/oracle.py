@@ -452,6 +452,18 @@ def q_token_counts() -> str:
     )
 
 
+def q_hash_split(fractions: dict | None = None, seed: int = 42) -> str:
+    """Twin of ``functions.sampling.hash_split`` over the documents table."""
+    from lsh_rs_spark.functions.sampling import hash_split_sql
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return (
+        "SELECT doc_id, "
+        f"{hash_split_sql('doc_id', fractions, seed)} AS split "
+        "FROM documents"
+    )
+
+
 def q_quality_scores() -> str:
     from lsh_rs_spark.functions.text import (
         punct_count_sql,

@@ -222,3 +222,40 @@ def test_normalize_text_dedups_case_punct_rewraps(spark):
     assert edges(cfg) == []
     got = edges(cfg_norm)
     assert len(got) == 1 and got[0].jaccard == 1.0
+
+
+def test_hash_split_deterministic_total_and_stable(spark):
+    """hash_split: every row gets exactly one label; assignment is a pure
+    function of (key, seed) — invariant under repartitioning and corpus
+    growth; fractions land near target; hash_sample(rate) is the prefix
+    of the same bucket space (growing rate only ADDS rows)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from lsh_rs_spark.functions.sampling import hash_sample, hash_split
+
+    df = spark.range(0, 5_000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(df, fr).collect()}
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    counts = {s: sum(1 for v in a.values() if v == s) for s in fr}
+    for s, frac in fr.items():
+        assert abs(counts[s] / n - frac) < 0.03
+    # invariant under partitioning and under corpus growth (subset keys)
+    b = {r.doc_id: r.split
+         for r in hash_split(df.repartition(17), fr).collect()}
+    assert a == b
+    sub = {r.doc_id: r.split
+           for r in hash_split(df.where("doc_id < 1000"), fr).collect()}
+    assert sub == {k: v for k, v in a.items() if k < 1000}
+
+    s10 = {r.doc_id for r in hash_sample(df, 0.1).collect()}
+    s25 = {r.doc_id for r in hash_sample(df, 0.25).collect()}
+    assert s10 < s25 and abs(len(s10) / n - 0.1) < 0.03
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError, match="rate"):
+        hash_sample(df, 0.0)
