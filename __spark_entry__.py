@@ -164,6 +164,16 @@ def q_dedup_keep_best(spark, sf_dir):
     return CC.dedup_representatives_by(labels, scores, "n_chars")
 
 
+def q_split_leakage_clusters(spark, sf_dir):
+    # eval-contamination QA: dup clusters straddling hash-split boundaries
+    from lsh_rs_spark.functions.sampling import hash_split, split_leakage
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    labels = CC.with_singletons(_components(spark, sf_dir), docs)
+    splits = hash_split(docs.select("doc_id"),
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split_leakage(labels, splits)
+
+
 def q_knn_text_topk(spark, sf_dir):
     sig = _sig(spark, sf_dir)
     queries = sig.where(F.col("doc_id") % KNN_QUERY_MOD == 0).select(
@@ -560,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "hash_split_assignments": q_hash_split_assignments,
+        "split_leakage_clusters": q_split_leakage_clusters,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "url_dedup_groups": q_url_dedup_groups,
@@ -618,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": O.q_token_counts(),
         "quality_scores": O.q_quality_scores(),
         "hash_split_assignments": O.q_hash_split(),
+        "split_leakage_clusters": O.q_split_leakage(CFG),
         "lang_id": O.q_lang_id(),
         "doc_fingerprints": O.q_doc_fingerprints(),
         "url_dedup_groups": O.q_url_dedup_groups(),

@@ -98,3 +98,37 @@ def hash_sample(
     if not 0.0 < rate <= 1.0:
         raise ValueError(f"rate must be in (0, 1], got {rate}")
     return df.where(split_bucket(key_col, seed) < int(round(rate * BUCKETS)))
+
+
+def split_leakage(
+    labels: DataFrame, splits: DataFrame, split_col: str = "split"
+) -> DataFrame:
+    """Eval-contamination report: duplicate clusters whose members straddle
+    split boundaries.
+
+    Hash splits are assigned per DOCUMENT, but near-duplicates are the
+    same CONTENT — if one copy lands in train and another in test, the
+    eval is contaminated (the canonical published failure this pipeline
+    exists to prevent; the fix is dedup-then-split, or split by
+    cluster_id instead of doc_id).  ``labels`` = (doc_id, cluster_id)
+    from the dedup pipeline, ``splits`` = (doc_id, split) from
+    :func:`hash_split`.  Returns one row per offending cluster:
+    (cluster_id, n_docs, n_splits, splits_csv) — splits_csv sorted CSV so
+    the row is engine-hashable.  Plan: one join + one partial-aggregable
+    groupBy; empty result == certified-clean corpus.
+    """
+    j = labels.join(splits.select("doc_id", split_col), "doc_id")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_set(split_col)).alias("_s"),
+        )
+        .where(F.size("_s") >= 2)
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.size("_s").cast("long").alias("n_splits"),
+            F.array_join("_s", ",").alias("splits_csv"),
+        )
+    )

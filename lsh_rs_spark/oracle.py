@@ -239,6 +239,41 @@ FROM ranked
 """.strip()
 
 
+def q_split_leakage(cfg: DedupConfig, fractions: dict | None = None,
+                    seed: int = 42) -> str:
+    """Twin of ``functions.sampling.split_leakage`` over the pipeline
+    labels (with singletons) and the hash_split assignment."""
+    from lsh_rs_spark.functions.sampling import hash_split_sql
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return f"""
+WITH RECURSIVE {_components_ctes(cfg)},
+all_labels AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM docs d LEFT JOIN components c ON c.doc_id = d.doc_id
+),
+splitted AS (
+  SELECT doc_id, {hash_split_sql('doc_id', fractions, seed)} AS split
+  FROM documents
+),
+j AS (
+  SELECT a.cluster_id, a.doc_id, s.split
+  FROM all_labels a JOIN splitted s USING (doc_id)
+),
+counts AS (SELECT cluster_id, COUNT(*) AS n_docs FROM j GROUP BY cluster_id),
+dist AS (SELECT DISTINCT cluster_id, split FROM j),
+sp AS (
+  SELECT cluster_id, COUNT(*) AS n_splits,
+         STRING_AGG(split, ',' ORDER BY split) AS splits_csv
+  FROM dist GROUP BY cluster_id
+)
+SELECT c.cluster_id, CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(sp.n_splits AS BIGINT) AS n_splits, sp.splits_csv
+FROM counts c JOIN sp USING (cluster_id)
+WHERE sp.n_splits >= 2
+""".strip()
+
+
 def q_knn_text_topk(cfg: DedupConfig, query_mod: int = 50, k: int = 5) -> str:
     return f"""
 WITH {dedup_ctes(cfg)},

@@ -259,3 +259,29 @@ def test_hash_split_deterministic_total_and_stable(spark):
         hash_split(df, {"train": 0.5, "val": 0.1})
     with _pytest.raises(ValueError, match="rate"):
         hash_sample(df, 0.0)
+
+
+def test_split_leakage_detects_and_cluster_split_fixes(spark):
+    """split_leakage flags a dup cluster straddling train/test; splitting
+    by CLUSTER id (the documented fix) yields a certified-clean corpus."""
+    from lsh_rs_spark.functions.sampling import hash_split, split_leakage
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id: long, cluster_id: long"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (9, "val")],
+        "doc_id: long, split: string",
+    )
+    rows = split_leakage(labels, splits).collect()
+    assert [(r.cluster_id, r.n_docs, r.n_splits, r.splits_csv)
+            for r in rows] == [(1, 3, 2, "test,train")]
+
+    # the fix: assign the split from cluster_id, then every member agrees
+    fixed = hash_split(
+        labels.withColumnRenamed("cluster_id", "key"),
+        {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="key",
+    ).select("doc_id", F.col("key").alias("cluster_id"), "split")
+    assert split_leakage(
+        fixed.select("doc_id", "cluster_id"), fixed.select("doc_id", "split")
+    ).count() == 0
