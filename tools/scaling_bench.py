@@ -121,18 +121,26 @@ def run_at(cores: int, input_path: str) -> dict:
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
     cpu_list = f"0-{cores - 1}"
-    out = subprocess.run(
+    proc = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=3600,
-        check=True,
         env=env,
-    ).stdout
+    )
     import shutil
 
     shutil.rmtree("/dev/shm/spark-tmp", ignore_errors=True)  # don't let
     # tmpfs shuffle residue accumulate across legs
+    if proc.returncode != 0:
+        # surface the LEG's stderr — check=True swallowed it (a crashed
+        # 8-core leg at 00:15 on 2026-08-18 was undiagnosable, and the
+        # whole invocation died losing its completed pairs)
+        raise RuntimeError(
+            f"leg at {cores} cores failed (rc={proc.returncode}); stderr "
+            f"tail:\n{proc.stderr[-3000:]}"
+        )
+    out = proc.stdout
     for line in out.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -201,24 +209,34 @@ spark.stop()
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=900)
 
     pairs = []
+    failures = []
     removed_set = set()
     for i in range(n_runs):
         pair = {"pair": i + 1, "legs": {}}
-        for cores in (low, high):
-            gate = idle_gate(gate_threshold)
-            r = run_at(cores, input_dir)
-            removed_set.add(r["removed"])
-            pair["legs"][str(cores)] = {
-                "wall": round(r["wall"], 1),
-                "docs_per_sec": round(r["docs_per_sec"], 1),
-                "n_docs": r["n_docs"],
-                "removed": r["removed"],
-                "gate": gate,
-            }
-            print(f"pair {i + 1}/{n_runs} local[{cores}]: "
-                  f"{r['docs_per_sec']:.1f} docs/sec ({r['wall']:.1f}s, "
-                  f"removed={r['removed']}, pre-leg loadavg "
-                  f"{gate['loadavg_1m']:.2f})", file=sys.stderr)
+        try:
+            for cores in (low, high):
+                gate = idle_gate(gate_threshold)
+                r = run_at(cores, input_dir)
+                removed_set.add(r["removed"])
+                pair["legs"][str(cores)] = {
+                    "wall": round(r["wall"], 1),
+                    "docs_per_sec": round(r["docs_per_sec"], 1),
+                    "n_docs": r["n_docs"],
+                    "removed": r["removed"],
+                    "gate": gate,
+                }
+                print(f"pair {i + 1}/{n_runs} local[{cores}]: "
+                      f"{r['docs_per_sec']:.1f} docs/sec ({r['wall']:.1f}s, "
+                      f"removed={r['removed']}, pre-leg loadavg "
+                      f"{gate['loadavg_1m']:.2f})", file=sys.stderr)
+        except (RuntimeError, subprocess.TimeoutExpired) as exc:
+            # a crashed/hung leg costs ITS pair, not the invocation — the
+            # completed pairs still reach the artifact, annotated
+            failures.append({"pair": i + 1,
+                             "error": str(exc)[:1500]})
+            print(f"pair {i + 1}: FAILED — {str(exc)[:300]}",
+                  file=sys.stderr)
+            continue
         lo, hi = pair["legs"][str(low)], pair["legs"][str(high)]
         pair["speedup"] = round(hi["docs_per_sec"] / lo["docs_per_sec"], 3)
         pair["efficiency"] = round(pair["speedup"] / (high / low), 3)
@@ -226,6 +244,7 @@ spark.stop()
         print(f"pair {i + 1}: efficiency {pair['efficiency']} "
               f"(gate_ok={pair['gate_ok']})", file=sys.stderr)
         pairs.append(pair)
+    assert pairs, "every pair failed — see failures in stderr"
     assert len(removed_set) == 1, \
         "parallelism changed the result — determinism violation"
 
@@ -256,6 +275,7 @@ spark.stop()
         "runs": {str(low): best_pair["legs"][str(low)],
                  str(high): best_pair["legs"][str(high)]},
         "all_pairs": pairs,
+        "failed_pairs": failures,
         "removed_identical_all_runs": removed_set.pop(),
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
