@@ -174,6 +174,14 @@ def q_split_leakage_clusters(spark, sf_dir):
     return split_leakage(labels, splits)
 
 
+def q_cluster_safe_split(spark, sf_dir):
+    # leak-free split: hash the CLUSTER id so dup-cluster members agree
+    from lsh_rs_spark.functions.sampling import cluster_safe_split
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    labels = CC.with_singletons(_components(spark, sf_dir), docs)
+    return cluster_safe_split(labels, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def q_knn_text_topk(spark, sf_dir):
     sig = _sig(spark, sf_dir)
     queries = sig.where(F.col("doc_id") % KNN_QUERY_MOD == 0).select(
@@ -571,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "hash_split_assignments": q_hash_split_assignments,
         "split_leakage_clusters": q_split_leakage_clusters,
+        "cluster_safe_split": q_cluster_safe_split,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "url_dedup_groups": q_url_dedup_groups,
@@ -630,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": O.q_quality_scores(),
         "hash_split_assignments": O.q_hash_split(),
         "split_leakage_clusters": O.q_split_leakage(CFG),
+        "cluster_safe_split": O.q_cluster_safe_split(CFG),
         "lang_id": O.q_lang_id(),
         "doc_fingerprints": O.q_doc_fingerprints(),
         "url_dedup_groups": O.q_url_dedup_groups(),

@@ -132,3 +132,27 @@ def split_leakage(
             F.array_join("_s", ",").alias("splits_csv"),
         )
     )
+
+
+def cluster_safe_split(
+    labels: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leak-free split assignment: hash the CLUSTER id, not the doc id.
+
+    Every member of a duplicate cluster lands in the same split by
+    construction, so :func:`split_leakage` over the result is empty —
+    the dedup-then-split recipe as one operator.  ``labels`` =
+    (doc_id, cluster_id) with singletons included
+    (`components.with_singletons`).  Returns (doc_id, cluster_id, split).
+    Same md5-bucket determinism contract as :func:`hash_split`: stable
+    under repartitioning, corpus growth and engine changes.
+    """
+    b = split_bucket("cluster_id", seed)
+    expr = None
+    for name, hi in _boundaries(fractions):
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return labels.select("doc_id", "cluster_id", expr.alias(split_col))

@@ -274,6 +274,25 @@ WHERE sp.n_splits >= 2
 """.strip()
 
 
+def q_cluster_safe_split(cfg: DedupConfig, fractions: dict | None = None,
+                         seed: int = 42) -> str:
+    """Twin of ``functions.sampling.cluster_safe_split`` over the pipeline
+    labels (with singletons)."""
+    from lsh_rs_spark.functions.sampling import hash_split_sql
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return f"""
+WITH RECURSIVE {_components_ctes(cfg)},
+all_labels AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM docs d LEFT JOIN components c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       {hash_split_sql('cluster_id', fractions, seed)} AS split
+FROM all_labels
+""".strip()
+
+
 def q_knn_text_topk(cfg: DedupConfig, query_mod: int = 50, k: int = 5) -> str:
     return f"""
 WITH {dedup_ctes(cfg)},

@@ -285,3 +285,25 @@ def test_split_leakage_detects_and_cluster_split_fixes(spark):
     assert split_leakage(
         fixed.select("doc_id", "cluster_id"), fixed.select("doc_id", "split")
     ).count() == 0
+
+
+def test_cluster_safe_split_is_leak_free(spark):
+    """cluster_safe_split over real pipeline labels yields zero leakage
+    clusters, keeps one split per cluster, and covers every doc."""
+    from lsh_rs_spark.functions.sampling import cluster_safe_split, split_leakage
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id: long, cluster_id: long",
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = cluster_safe_split(labels, fr)
+    rows = out.collect()
+    assert len(rows) == 6 and all(r.split in fr for r in rows)
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert split_leakage(
+        out.select("doc_id", "cluster_id"), out.select("doc_id", "split")
+    ).count() == 0
