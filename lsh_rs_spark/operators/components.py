@@ -495,12 +495,20 @@ def dedup_representatives_by(
     — no id negation tricks, so full-range hash ids (xxhash64 doc keys
     can be negative) are safe.  Output: one row per doc —
     (doc_id, cluster_id, <score_col>, is_representative).
+
+    Docs absent from ``scores`` keep their row (LEFT join — a keep-list
+    must never silently drop documents): a null score loses to any
+    scored member, and a cluster whose members are ALL unscored falls
+    back to the min-id representative.
     """
-    joined = all_labels.join(scores.select(id_col, score_col), id_col)
+    joined = all_labels.join(scores.select(id_col, score_col), id_col, "left")
     mx = joined.groupBy("cluster_id").agg(F.max(score_col).alias("_mx"))
     best = (
         joined.join(mx, "cluster_id")
-        .where(F.col(score_col) == F.col("_mx"))
+        # F.max ignores nulls: _mx is null only when NO member has a
+        # score — then every member ties and min-id wins (the null == _mx
+        # comparison alone would evaluate to null and drop the cluster)
+        .where((F.col(score_col) == F.col("_mx")) | F.col("_mx").isNull())
         .groupBy("cluster_id")
         .agg(F.min(id_col).alias("_best_id"))
     )

@@ -955,3 +955,20 @@ def test_dedup_representatives_by_keeps_best_scored_member(spark):
            for r in CC.dedup_representatives_by(labels, scores, "n_chars").collect()}
     assert out == {1: (False, 10), 2: (False, 30), 3: (True, 50),
                    7: (True, 20), 8: (False, 20), 9: (True, 5)}
+
+
+def test_dedup_representatives_by_survives_missing_scores(spark):
+    """A doc absent from the scores table must keep its keep-list row
+    (null score loses to any scored member); a cluster with NO scored
+    member falls back to min-id representation — no silent row loss."""
+    from lsh_rs_spark.operators import components as CC
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "doc_id: long, cluster_id: long"
+    )
+    scores = spark.createDataFrame(
+        [(2, 30)], "doc_id: long, n_chars: long"  # 1, 5, 6 unscored
+    )
+    out = {r.doc_id: r.is_representative
+           for r in CC.dedup_representatives_by(labels, scores, "n_chars").collect()}
+    assert out == {1: False, 2: True, 5: True, 6: False}
