@@ -223,6 +223,15 @@ def test_normalize_text_dedups_case_punct_rewraps(spark):
     got = edges(cfg_norm)
     assert len(got) == 1 and got[0].jaccard == 1.0
 
+    # same behavior on the PRODUCTION signing path (xxhash64 word-hash
+    # shingles + OPH), which normalizes through a different code path
+    cfg_prod = dataclasses.replace(
+        cfg_norm, hash_family="xxhash64", minhash_mode="oph")
+    got_prod = edges(cfg_prod)
+    assert len(got_prod) == 1 and got_prod[0].jaccard == 1.0
+    assert edges(dataclasses.replace(
+        cfg, hash_family="xxhash64", minhash_mode="oph")) == []
+
 
 def test_hash_split_deterministic_total_and_stable(spark):
     """hash_split: every row gets exactly one label; assignment is a pure
