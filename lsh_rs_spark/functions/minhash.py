@@ -145,14 +145,54 @@ def oph_kernel(
 
 
 def make_minhash_udf(cfg: DedupConfig):
-    """pandas_udf: ARRAY<BIGINT> shingle ids → ARRAY<BIGINT> signature(num_perm).
+    """Vectorized UDF: ARRAY<BIGINT> shingle ids → ARRAY<BIGINT>
+    signature(num_perm).
 
     Dispatches on cfg.minhash_mode: 'kperm' (reference semantics, exact
-    SQL-oracle parity) or 'oph' (production, O(shingles))."""
+    SQL-oracle parity) or 'oph' (production, O(shingles)).
+
+    Transport (round-7): an **Arrow-native UDF** (Spark 4.1 ``arrow_udf``)
+    when available — the kernel reads the ListArray offsets/values buffers
+    zero-copy and returns a ListArray built from the (n, k) signature
+    matrix in one shot, skipping the pandas detour that materialized one
+    ndarray object per row on the way in and per signature on the way out.
+    Same kernels → bit-identical signatures (checksum-verified at 56k
+    pages, tools/variants_r07.py: warm median 1.37 s vs 1.67-1.9 s pandas,
+    and a far tighter spread — the pandas path's per-row object churn was
+    GC-noisy).  Falls back to the pandas_udf transport on Spark < 4.1."""
     a, b = minhash_params(cfg.num_perm, cfg.seed)
     a0, b0 = int(a[0]), int(b[0])
     mode = cfg.minhash_mode
     k = cfg.num_perm
+
+    try:
+        from pyspark.sql.functions import arrow_udf
+    except ImportError:
+        arrow_udf = None
+
+    if arrow_udf is not None:
+        import pyarrow as pa
+
+        from lsh_rs_spark.functions.arrow_batch import (
+            fixed_width_list,
+            list_segments,
+        )
+
+        def _mh_arrow(sids):
+            if isinstance(sids, pa.ChunkedArray):
+                sids = sids.combine_chunks()
+            starts, flat = list_segments(sids)
+            if mode == "oph":
+                sig = oph_kernel(starts, flat, k, a0, b0)
+            else:
+                sig = minhash_kernel(starts, flat, a, b)
+            return fixed_width_list(sig)
+
+        # the module-level `from __future__ import annotations` stringifies
+        # signature hints, which arrow_udf's eval-type inference rejects —
+        # attach real type objects instead
+        _mh_arrow.__annotations__ = {"sids": pa.Array, "return": pa.Array}
+        return arrow_udf(_mh_arrow, ArrayType(LongType()))
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_udf(sids: pd.Series) -> pd.Series:

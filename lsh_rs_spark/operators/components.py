@@ -307,7 +307,29 @@ def _driver_union_find(edges: DataFrame, rows=None) -> DataFrame:
     schema = StructType(
         [StructField("doc_id", id_type), StructField("cluster_id", id_type)]
     )
-    return edges.sparkSession.createDataFrame(labels, schema)
+    spark = edges.sparkSession
+    if id_type.typeName() in ("long", "integer", "short", "byte") and labels:
+        # Arrow transport: a pandas frame converts driver-side into Arrow
+        # batches that deserialize in the JVM — the tuple path instead
+        # pickles every row and spins a Python worker per task just to
+        # unpickle them (~0.5 s × parallelism of pure worker overhead at
+        # 56k pages, round-7 event-log evidence).  Values are identical:
+        # plain int64 ids either way.
+        import numpy as np
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.fromiter(
+                    (x for x, _ in labels), dtype=np.int64, count=len(labels)
+                ),
+                "cluster_id": np.fromiter(
+                    (y for _, y in labels), dtype=np.int64, count=len(labels)
+                ),
+            }
+        )
+        return spark.createDataFrame(pdf, schema)
+    return spark.createDataFrame(labels, schema)
 
 
 def connected_components_auto(

@@ -39,27 +39,33 @@ def exact_dup_edges(
     """Scale form of exact dedup for the pipeline: (rep_id, doc_id) rows for
     every non-representative member of a byte-identical-text group.
 
-    One hash-agg on ``sha256(text)`` (32-byte shuffle key — collision
-    resistant against adversarial web content, see exact_dup_groups; bounded
-    aggregation state — min + count, no collect_list) + one join back.  The
-    rep side
-    only keeps groups with >= 2 members, so it is tiny (≈ the dup rate) and
-    AQE broadcasts it; a massive boilerplate group costs one counter per
-    partition, not an unbounded list in one buffer.
+    One scan + ONE exchange on ``sha256(text)`` (32-byte shuffle key —
+    collision resistant against adversarial web content, see
+    exact_dup_groups): min/count window over the hash partition, filter
+    non-representatives.  The former agg + join-back form streamed the
+    corpus TWICE (the aggregate's exchange and the join side's exchange are
+    different subplans, so AQE cannot reuse one for the other) and paid two
+    more AQE stage waves; the window reuses its own exchange for both the
+    min and the count (round-7 A/B at 56k pages, warm medians:
+    0.61 s vs 1.57 s, identical edge set — tools/variants_r07.py).
+    Skew note: a pathological boilerplate group lands on one reducer either
+    way (the old join keyed on the same hash); the window's per-group state
+    is a spillable sorted run, and exact-dup hot groups are first collapsed
+    here precisely so the LSH stages never see them.
     """
-    h = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.sha2(F.col(text_col).cast("binary"), 256).alias("_th"),
-    )
-    reps = (
-        h.groupBy("_th")
-        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("_n"))
-        .where(F.col("_n") >= 2)
-        .select("_th", "rep_id")
-    )
+    w = Window.partitionBy("_th")
     return (
-        h.join(reps, "_th")
-        .where(F.col("doc_id") != F.col("rep_id"))
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("_th"),
+        )
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("rep_id"),
+            F.count("*").over(w).alias("_n"),
+        )
+        .where((F.col("_n") >= 2) & (F.col("doc_id") != F.col("rep_id")))
         .select("rep_id", "doc_id")
     )
 

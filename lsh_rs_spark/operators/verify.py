@@ -43,10 +43,12 @@ def jaccard_edges(
     shingle ids are distinct per doc, so ``size(array_intersect)`` equals
     the exploded match count exactly.
     """
+    # no distinct() on the participant ids: a LEFT SEMI join is set-semantic
+    # over its right side already, so deduplicating it first only added an
+    # exchange + aggregate AQE wave (round-7; result identical)
     cand_docs = (
         pairs.select(F.col("src").alias("doc_id"))
         .unionByName(pairs.select(F.col("dst").alias("doc_id")))
-        .distinct()
     )
     pruned = (
         sig.select("doc_id", "shingles")
@@ -136,7 +138,7 @@ def containment_edges(
     cand_docs = (
         pairs.select(F.col("src").alias("doc_id"))
         .unionByName(pairs.select(F.col("dst").alias("doc_id")))
-        .distinct()
+        # no distinct(): left-semi join is set-semantic over its right side
     )
     pruned = (
         sig.select("doc_id", "shingles")
