@@ -43,11 +43,14 @@ def brute_force_topk(
             l2_norm(vec_col).alias("qn"),
         )
     )
-    c = corpus.select(
+    from lsh_rs_spark.tuning import scan_parallelism_boost
+
+    c = scan_parallelism_boost(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(vec_col).alias("cn"),
-    )
+    )  # narrow one-file corpora otherwise stream the whole cross join
+    # through a single task
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -80,6 +83,10 @@ def srp_sketches(
         if use_udf
         else srp_sketch_col(vec_col, cfg.seed, cfg.n_bits, cfg.dim)
     )
+    # no scan boost here (round-7): the sketch kernel is cheap per row and
+    # the ANN chain is AQE-wave-latency-bound — an extra exchange on each
+    # side cost more than the serial sketch it parallelized (measured
+    # +0.7 s on ann_srp_topk at sf0.1)
     return emb.select(F.col(id_col).alias("vec_id"), sk.alias("srp"))
 
 

@@ -50,6 +50,12 @@ def signatures(
     for callers that consume all three columns straight from the map.
     Contrast simhash_sketches, where mapInArrow IS the default because its
     output drops the token-hash column entirely."""
+    from lsh_rs_spark.tuning import scan_parallelism_boost
+
+    # a one-file parquet corpus scans as ONE task and the whole
+    # shingle+sign stage then runs serially — spread narrow file-backed
+    # inputs across the cores first (no-op for wide/in-memory inputs)
+    docs = scan_parallelism_boost(docs, id_col)
     if cfg.hash_family == "xxhash64" and cfg.shingle_mode == "word":
         # production fast path: per-word hash + fixed-width gram combine —
         # no n-gram strings materialized (~8× on the shingle stage); the
@@ -249,7 +255,20 @@ def bucket_guard(
     (MinHash ``pairs_from_buckets``, the fused SimHash pairing): keep only
     buckets with [2, max_bucket_size] members, counted by a window on the
     same partitioning the downstream aggregation reuses — one exchange,
-    one semantics (so the skew policy can never drift between families)."""
+    one semantics (so the skew policy can never drift between families).
+
+    The exchange is PINNED at the session's shuffle-partition count
+    (round-7): AQE's byte-based coalescing is right for shuffle-bound
+    stages but squeezed these CPU-bound ones — the post-shuffle stage
+    carries the in-row pair explosion, whose cost is quadratic in bucket
+    size and unrelated to its input bytes, and a few-MB bucket table ran
+    it on 1 core (1.8 s of a 2.9 s SimHash query, round-7 event log).
+    At scale the pinned count is the data-sized
+    ``spark.sql.shuffle.partitions`` where coalescing was a no-op anyway;
+    the window and the downstream groupBy both reuse this one exchange."""
+    from lsh_rs_spark.tuning import pinned_key_partitions
+
+    long_df = pinned_key_partitions(long_df, *key_cols)
     w = Window.partitionBy(*key_cols)
     return (
         long_df.withColumn("_bs", F.count("*").over(w))

@@ -24,9 +24,12 @@ from lsh_rs_spark.functions.simhash import band_expr, hamming, make_simhash_udf
 def token_hashes(docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, tok_hashes ARRAY<BIGINT>) — whitespace tokens, empties dropped,
     duplicates preserved (SimHash weights by term frequency)."""
+    from lsh_rs_spark.tuning import scan_parallelism_boost
+
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     return (
-        docs.where(F.col("text").isNotNull())
+        scan_parallelism_boost(docs, id_col)
+        .where(F.col("text").isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
             F.transform(toks, lambda t: shingle_id(t, cfg.hash_family)).alias(

@@ -400,7 +400,11 @@ def winnowing_positions_kernel(
                     }
                 )
 
-    d = docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).where(
+    from lsh_rs_spark.tuning import scan_parallelism_boost
+
+    d = scan_parallelism_boost(docs, id_col).select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).where(
         # octet_length: min_match is a BYTE threshold (kernels hash UTF-8
         # bytes); F.length counts chars and would drop short non-ASCII docs
         # whose byte length qualifies
@@ -459,7 +463,11 @@ def winnowing_anchors_kernel(
                     )
             yield pd.DataFrame(out)
 
-    d = docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).where(
+    from lsh_rs_spark.tuning import scan_parallelism_boost
+
+    d = scan_parallelism_boost(docs, id_col).select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).where(
         # octet_length: min_match is a BYTE threshold (kernels hash UTF-8
         # bytes); F.length counts chars and would drop short non-ASCII docs
         # whose byte length qualifies
@@ -505,6 +513,11 @@ def winnowing_anchors_two_phase(
     light = winnowing_positions_kernel(
         docs, min_match, k_gram, id_col, text_col, dedup_anchors=dedup_anchors
     )
+    from lsh_rs_spark.tuning import pinned_key_partitions
+
+    # pin the collision-count window's exchange width (same rationale as
+    # the SA-group pin: byte-based coalescing serialized this stage)
+    light = pinned_key_partitions(light, "anchor")
     wa = Window.partitionBy("anchor")
     cnt = (
         F.count("*").over(wa) if dedup_anchors
@@ -518,8 +531,14 @@ def winnowing_anchors_two_phase(
     per_doc = sel.groupBy("doc_id").agg(
         F.collect_list(F.struct("anchor", "pos")).alias("aps")
     )
+    from lsh_rs_spark.tuning import scan_parallelism_boost
+
+    # boost the docs side too: the snippet-cut kernel below runs on this
+    # join's output partitioning, which a one-file corpus pins to 1 task
     joined = per_doc.join(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        scan_parallelism_boost(docs, id_col).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ),
         "doc_id",
     )
 
@@ -605,6 +624,13 @@ def substring_dup_pairs(
     # run the per-group suffix-array kernel with mapInPandas directly over
     # the grouped rows (many groups per Arrow batch — cheaper than
     # applyInPandas, which re-shuffles and invokes the kernel per group).
+    # The exchange is PINNED at the session's shuffle-partition count:
+    # AQE's byte-based coalescing squeezed the ~10 MB snippet stream into
+    # 6 partitions and the SA kernel — the CPU-dominant stage of this
+    # query — ran on 6 cores (5.7 s of a 7.1 s query, round-7 event log).
+    from lsh_rs_spark.tuning import pinned_key_partitions
+
+    anchors = pinned_key_partitions(anchors, "anchor")
     grouped = (
         anchors.groupBy("anchor")
         .agg(F.collect_list(F.struct("doc_id", "snippet")).alias("members"))
@@ -909,8 +935,15 @@ def substring_dup_spans(
     # anchors are the documented skew policy, never silent
     # (max_group_rows plays the max_bucket_size role).
     from lsh_rs_spark.operators.lsh import bucket_guard
+    from lsh_rs_spark.tuning import pinned_key_partitions
 
     max_group_rows = 4 * max_group_docs
+    # pin the anchor exchange width: the guard window AND the group
+    # aggregation below both reuse this one exchange, and the per-group
+    # SA kernel (the CPU-dominant stage) keeps full parallelism instead
+    # of AQE's byte-coalesced handful of partitions (see
+    # substring_dup_pairs)
+    anchors = pinned_key_partitions(anchors, "anchor")
     anchors = bucket_guard(anchors, ["anchor"], max_group_rows)
     grouped = (
         anchors.groupBy("anchor")

@@ -199,6 +199,91 @@ def suggest_shuffle_partitions(
     return max(2 * cores, by_size)
 
 
+def _conf_bytes(spark, key: str, default: int) -> int:
+    try:
+        v = spark.conf.get(key)
+        return int(
+            spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(v)
+        )
+    except Exception:
+        return default
+
+
+def scan_parallelism_boost(df, *key_cols: str):
+    """Repartition a NARROW file-backed input up to ``defaultParallelism``
+    before a CPU-heavy per-document kernel (guide §2.5 "input skew" /
+    §4: a one-file parquet table scans as ONE task, and every downstream
+    narrow stage — shingling, signing, winnowing — then runs serially
+    while the rest of the cluster idles; round-7 event logs showed the
+    whole documents-table chain executing on 1 core).
+
+    The decision is made from file METADATA only (no job, no plan
+    execution): estimated scan tasks = Σ ceil(file_size /
+    maxPartitionBytes).  It boosts only when that estimate is below the
+    core count — which bounds the repartition shuffle to <
+    maxPartitionBytes × cores by construction, so a large corpus (many
+    files / big files) is NEVER repartitioned and pays only the listing
+    lookup (early-exited after the first `cores` files).  Non-file inputs
+    (in-memory/synthetic corpora) are returned unchanged — their
+    partitioning is the caller's contract.  The repartition key is the
+    given id column (deterministic hash assignment — survives task
+    retries, SPARK-38388) when provided, round-robin otherwise.
+    """
+    from pyspark.sql import functions as _F
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    target = sc.defaultParallelism
+    maxpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    est = 0
+    try:
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            est += -(-fs.getFileStatus(p).getLen() // maxpb)
+            if est >= target:
+                return df
+    except Exception:
+        return df
+    if key_cols:
+        return df.repartition(target, *[_F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
+def pinned_key_partitions(df, *key_cols: str):
+    """Exchange ``df`` by ``key_cols`` at the session's FULL shuffle
+    partition count, pinned against AQE coalescing — for exchanges that
+    feed CPU-heavy work (per-group Python kernels, in-row pair explosion).
+
+    AQE sizes post-shuffle partitions by BYTES (advisory 64 MB), which is
+    right for shuffle-bound stages but serializes compute-bound ones: a
+    ~10 MB anchor-group stream coalesces to ~1-6 partitions and the
+    suffix-array kernel then runs on 1-6 cores (round-7 event log: 5.7 s
+    of a 7.1 s query in one 6-task stage).  A downstream
+    groupBy/Window on the same keys reuses this exchange (identical hash
+    partitioning), so no second shuffle is added; at scale the pinned
+    count is the data-sized ``spark.sql.shuffle.partitions`` the session
+    already runs, where AQE coalescing would have been a no-op anyway.
+    """
+    from pyspark.sql import functions as _F
+
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = spark.sparkContext.defaultParallelism * 2
+    return df.repartition(n, *[_F.col(c) for c in key_cols])
+
+
 def _shuffle_write_by_stage(spark) -> dict:
     """{stageId: shuffle-write bytes} over the stages the app status store
     retains — the numbers the UI's stage table shows, read headless.
