@@ -97,19 +97,34 @@ def explode_bands(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
     r = cfg.rows_per_band
     if cfg.hash_family == "xxhash64":
         def key(bi):
-            return F.xxhash64(F.slice("minhash", bi * r + 1, r))
+            # element refs, not slice(): a STATIC xxhash64 over r scalar
+            # element_at's stays inside whole-stage codegen, where the
+            # former slice() allocated an r-array per band per row
+            return F.xxhash64(
+                *[F.element_at("minhash", bi * r + 1 + j) for j in range(r)]
+            )
     else:
         def key(bi):
             return F.concat_ws(
                 "-",
-                F.transform(F.slice("minhash", bi * r + 1, r), lambda h: h.cast("string")),
+                *[
+                    F.element_at("minhash", bi * r + 1 + j).cast("string")
+                    for j in range(r)
+                ],
             )
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
-        lambda bi: F.struct(
-            bi.cast("int").alias("band_idx"),
-            key(bi).alias("band_key"),
-        ),
+    # static array of per-band structs instead of transform(sequence(...)):
+    # higher-order functions are interpreted per element in Spark, and this
+    # stage's lambda overhead was ~36 s CPU at 56k pages (round-7 event
+    # log); the unrolled form whole-stage-codegens.  Same values, same
+    # band order → identical bucket table.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band_idx"),
+                key(bi).alias("band_key"),
+            )
+            for bi in range(cfg.bands)
+        ]
     )
     return (
         sig.select("doc_id", F.explode(bands).alias("b"))
