@@ -99,9 +99,11 @@ def main():
 
     import __spark_entry__ as E
 
+    cores = os.environ.get("SPARK_CHECK_CORES", "8")
+    parts = os.environ.get("SPARK_CHECK_PARTITIONS", "16")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
