@@ -232,27 +232,59 @@ def scan_parallelism_boost(df, *key_cols: str):
     """
     from pyspark.sql import functions as _F
 
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return df
-    if not files:
-        return df
     spark = df.sparkSession
     sc = spark.sparkContext
     target = sc.defaultParallelism
     maxpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     est = 0
     try:
-        jvm = sc._jvm
-        hconf = sc._jsc.hadoopConfiguration()
-        for f in files:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            fs = p.getFileSystem(hconf)
-            est += -(-fs.getFileStatus(p).getLen() // maxpb)
-            if est >= target:
-                return df
+        files = df.inputFiles()
     except Exception:
+        return df
+    if files:
+        try:
+            jvm = sc._jvm
+            hconf = sc._jsc.hadoopConfiguration()
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                fs = p.getFileSystem(hconf)
+                est += -(-fs.getFileStatus(p).getLen() // maxpb)
+                if est >= target:
+                    return df
+        except Exception:
+            return df
+    else:
+        # ``inputFiles`` goes blind through joins/filters and cached plans
+        # (it reports [] for e.g. an anti-join over a persisted scan — the
+        # exact shape the dedup pipeline feeds ``signatures``).  Walk the
+        # optimized plan's LEAVES instead — still metadata-only, no jobs:
+        # cached relations expose their actual partition count, file
+        # relations their size, Range its slice count.  ANY leaf this
+        # cannot classify aborts the boost (returning df unchanged is
+        # always correct).
+        try:
+            leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+            for idx in range(leaves.size()):
+                leaf = leaves.apply(idx)
+                cls = leaf.getClass().getSimpleName()
+                if cls == "InMemoryRelation":
+                    est += leaf.cacheBuilder().cachedColumnBuffers().getNumPartitions()
+                elif cls == "LogicalRelation":
+                    est += -(-leaf.computeStats().sizeInBytes().longValue() // maxpb)
+                elif cls == "LogicalRDD":
+                    est += leaf.rdd().getNumPartitions()
+                elif cls == "Range":
+                    ns = leaf.numSlices()
+                    est += ns.get() if ns.isDefined() else target
+                elif cls in ("LocalRelation", "OneRowRelation"):
+                    est += 1
+                else:
+                    return df
+                if est >= target:
+                    return df
+        except Exception:
+            return df
+    if est <= 0:
         return df
     if key_cols:
         return df.repartition(target, *[_F.col(c) for c in key_cols])

@@ -81,8 +81,16 @@ def main():
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     cfg = PIPELINE_CONFIG
-    pages = with_doc_ids(synth_webpages(spark, N_PAGES, partitions=CPUS)).persist()
-    pages.count()
+    if os.environ.get("PROBE_DOCS"):
+        pages = spark.read.parquet(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            + "/documents.parquet"
+        )
+    else:
+        pages = with_doc_ids(
+            synth_webpages(spark, N_PAGES, partitions=CPUS)
+        ).persist()
+        pages.count()
     # warmup
     warm = with_doc_ids(synth_webpages(spark, 2000, partitions=CPUS))
     dedup_pipeline_count(warm, cfg, spark.sparkContext)
