@@ -110,6 +110,48 @@ def test_suffix_array_correctness():
     assert sa == [5, 3, 1, 0, 4, 2]
 
 
+def test_suffix_array_matches_naive_sort():
+    """Round-7 SA rewrite (8-byte word init + packed-key doubling) against
+    the definitionally-correct sorted(suffixes), including the adversarial
+    shapes the word init must get right: all-zero tails of different
+    lengths (zero-padding aliasing), low-alphabet repeats, embedded
+    separators."""
+    rng = np.random.default_rng(11)
+    cases = [b"", b"\x00", b"\x00" * 37, b"ab" * 60, b"a" * 100,
+             b"x\x01" + b"\x00" * 9, (b"abc\x00\x01\x00" * 25)]
+    for _ in range(60):
+        n = int(rng.integers(1, 200))
+        alpha = int(rng.integers(2, 5))
+        cases.append(rng.integers(0, alpha, n).astype(np.uint8).tobytes())
+    for data in cases:
+        expect = sorted(range(len(data)), key=lambda i: data[i:])
+        assert SX._suffix_array_bytes(data).tolist() == expect, data[:30]
+
+
+def test_adjacent_lcps_gated_equals_full():
+    """Round-7 LCP gating (max_lcp cap + min_match-window probe) must agree
+    with the ungated lifting on every value >= the gate and report < gate
+    for the rest — on blobs shaped exactly like the kernels' chunks
+    (unique per-entry separators)."""
+    rng = np.random.default_rng(12)
+    for _ in range(20):
+        base = rng.integers(0, 4, 150).astype(np.uint8).tobytes()
+        parts = []
+        for idx in range(10):
+            t = bytearray(base[: int(rng.integers(30, 150))])
+            for _ in range(int(rng.integers(0, 3))):
+                t[int(rng.integers(0, len(t)))] = int(rng.integers(0, 4))
+            parts.append(bytes(t))
+            parts.append(b"\x00" + idx.to_bytes(4, "little") + b"\x00")
+        blob = b"".join(parts)
+        sa = SX._suffix_array_bytes(blob)
+        full = SX._adjacent_lcps(blob, sa)
+        gated = SX._adjacent_lcps(blob, sa, max_lcp=158, min_interesting=24)
+        ge = full >= 24
+        assert np.array_equal(full[ge], gated[ge])
+        assert (gated[~ge] < 24).all()
+
+
 def test_brute_force_topk_matches_numpy(spark):
     rng = np.random.default_rng(0)
     vecs = [(i, rng.normal(size=8).astype("float32").tolist()) for i in range(50)]
