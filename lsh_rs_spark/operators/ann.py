@@ -145,7 +145,8 @@ def ann_topk(
     query_sk = srp_sketches(queries, cfg, id_col, vec_col, use_udf=use_udf)
     qb = sketch_bands(query_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "query_id")
     cb = sketch_bands(corpus_sk, "srp", "vec_id", cfg.bands, cfg.bits_per_band, "neighbor_id")
-    if resolve_probe_broadcast(queries, cfg.bands, broadcast_probes):
+    small_queries = resolve_probe_broadcast(queries, cfg.bands, broadcast_probes)
+    if small_queries:
         qb = F.broadcast(qb)
     cand = (
         qb.join(cb, ["band_idx", "band_key"])
@@ -153,16 +154,20 @@ def ann_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
+    if small_queries:
+        # same adaptive bound as the probe side: a plan-time broadcast
+        # hint spares AQE a materialize-then-decide round on the re-rank
+        # join (the ANN chain is stage-wave-latency-bound at small query
+        # counts); a corpus-scale query side falls through to AQE
+        q_side = F.broadcast(q_side)
     scored = (
         cand
-        .join(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("qv"),
-                l2_norm(vec_col).alias("qn"),
-            ),
-            "query_id",
-        )
+        .join(q_side, "query_id")
         .join(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
