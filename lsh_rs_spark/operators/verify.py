@@ -19,6 +19,37 @@ from pyspark.sql import DataFrame, functions as F
 from lsh_rs_spark.config import DedupConfig, SimHashConfig
 from lsh_rs_spark.functions.simhash import hamming
 
+#: Max candidate-pair rows for which the pair-participant id set is
+#: broadcast into the semi-join prune instead of shuffling the signature
+#: table.  2M pairs → ≤ 4M distinct ids ≈ 64 MB broadcast (8 B ids plus
+#: hash-relation overhead) — comfortably inside executor memory, while a
+#: web-scale pair table falls through to the shuffle plan.
+BROADCAST_PRUNE_PAIR_LIMIT = 2_000_000
+
+
+def _materialized_rowcount(df: DataFrame, limit: int) -> int | None:
+    """Row count of ``df`` when counting is KNOWN cheap, else None.
+
+    Cheap means every leaf of the optimized plan is already materialized
+    (a localCheckpoint/RDD scan) or a file source (count served from
+    metadata/statistics) and the plan is a bare scan of one such leaf —
+    the dedup pipeline checkpoints its candidate pairs, so the verify
+    stage can afford one tiny count job to pick its join strategy.  A
+    pairs argument with live lineage (the oracle-gate path) returns None:
+    counting it would execute the whole pairing DAG twice."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        leaves = plan.collectLeaves()
+        if leaves.size() != 1:
+            return None
+        cls = leaves.apply(0).getClass().getSimpleName()
+        if cls not in ("LogicalRDD", "LogicalRelation"):
+            return None
+        n = df.limit(limit + 1).count()
+        return n if n <= limit else None
+    except Exception:
+        return None
+
 
 def shingle_table(sig: DataFrame) -> DataFrame:
     """(doc_id, shingles) → long (doc_id, sid), ids already distinct per doc."""
@@ -50,6 +81,18 @@ def jaccard_edges(
         pairs.select(F.col("src").alias("doc_id"))
         .unionByName(pairs.select(F.col("dst").alias("doc_id")))
     )
+    # round-7: when the pair table is already materialized (the pipeline
+    # localCheckpoints it) and small, BROADCAST the distinct participant
+    # ids — the semi join then streams the signature table with NO
+    # exchange of it at all (the former plan shuffled the full
+    # (doc_id, shingles) projection before AQE could see the tiny side:
+    # AQE materializes both sides of a join before converting to
+    # broadcast).  A web-scale pair table (> BROADCAST_PRUNE_PAIR_LIMIT)
+    # or an unmaterialized pairs argument falls through to the shuffle
+    # plan unchanged.  Same result either way — only the join strategy
+    # moves.
+    if _materialized_rowcount(pairs, BROADCAST_PRUNE_PAIR_LIMIT) is not None:
+        cand_docs = F.broadcast(cand_docs.distinct())
     pruned = (
         sig.select("doc_id", "shingles")
         .join(cand_docs, "doc_id", "left_semi")
@@ -140,6 +183,11 @@ def containment_edges(
         .unionByName(pairs.select(F.col("dst").alias("doc_id")))
         # no distinct(): left-semi join is set-semantic over its right side
     )
+    if _materialized_rowcount(pairs, BROADCAST_PRUNE_PAIR_LIMIT) is not None:
+        # see jaccard_edges: broadcast the participant ids of a small,
+        # already-materialized pair table so the signature table streams
+        # without an exchange
+        cand_docs = F.broadcast(cand_docs.distinct())
     pruned = (
         sig.select("doc_id", "shingles")
         .join(cand_docs, "doc_id", "left_semi")
